@@ -1,0 +1,248 @@
+// ofio — native I/O runtime for optical_flow_tpu.
+//
+// Replaces the role OpenCV's C++ core plays in the reference
+// (cv::VideoCapture frame-index seek + decode, reference
+// optical_flow.py:36-37 / visualize_optical_flow.py:23-24, and cv::imwrite
+// JPEG encode, visualize_optical_flow.py:59-60) with a small libavformat/
+// libavcodec/libswscale + libjpeg library exposed over a C ABI for ctypes.
+//
+// Seek semantics match cv2.VideoCapture(CAP_PROP_POS_FRAMES):
+//   * the position argument may be a float; the decoded frame is
+//     floor(pos) (verified empirically against cv2 — SURVEY.md 2c #4);
+//   * read() past the end returns failure (ret=False equivalent);
+//   * sequential reads avoid re-seeking.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <cmath>
+
+extern "C" {
+#include <libavformat/avformat.h>
+#include <libavcodec/avcodec.h>
+#include <libavutil/imgutils.h>
+#include <libswscale/swscale.h>
+#include <jpeglib.h>
+}
+
+namespace {
+
+struct Reader {
+    AVFormatContext* fmt = nullptr;
+    AVCodecContext* dec = nullptr;
+    SwsContext* sws = nullptr;
+    AVPacket* pkt = nullptr;
+    AVFrame* frame = nullptr;
+    int stream_idx = -1;
+    int width = 0;
+    int height = 0;
+    double fps = 0.0;
+    int64_t frame_count = 0;
+    // decode cursor: index of the next frame that will come out of the
+    // decoder (-1 after a fresh seek until resynced)
+    int64_t next_index = 0;
+    bool at_eof = false;
+};
+
+int64_t index_to_pts(const Reader* r, int64_t index) {
+    AVStream* st = r->fmt->streams[r->stream_idx];
+    int64_t start = (st->start_time == AV_NOPTS_VALUE) ? 0 : st->start_time;
+    // pts per frame from fps in stream time_base units
+    double sec = static_cast<double>(index) / r->fps;
+    return start + llrint(sec / av_q2d(st->time_base));
+}
+
+int64_t pts_to_index(const Reader* r, int64_t pts) {
+    AVStream* st = r->fmt->streams[r->stream_idx];
+    int64_t start = (st->start_time == AV_NOPTS_VALUE) ? 0 : st->start_time;
+    double sec = (pts - start) * av_q2d(st->time_base);
+    return llrint(sec * r->fps);
+}
+
+// decode the next frame into r->frame; returns 0 ok, <0 EOF/error
+int decode_next(Reader* r) {
+    while (true) {
+        int ret = avcodec_receive_frame(r->dec, r->frame);
+        if (ret == 0) return 0;
+        if (ret == AVERROR_EOF) return -1;
+        if (ret != AVERROR(EAGAIN)) return -2;
+        // need more input
+        while (true) {
+            ret = av_read_frame(r->fmt, r->pkt);
+            if (ret < 0) {
+                avcodec_send_packet(r->dec, nullptr);  // flush
+                break;
+            }
+            if (r->pkt->stream_index == r->stream_idx) {
+                ret = avcodec_send_packet(r->dec, r->pkt);
+                av_packet_unref(r->pkt);
+                if (ret < 0 && ret != AVERROR(EAGAIN)) return -2;
+                break;
+            }
+            av_packet_unref(r->pkt);
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* ofio_open(const char* path) {
+    av_log_set_level(AV_LOG_ERROR);
+    Reader* r = new Reader();
+    if (avformat_open_input(&r->fmt, path, nullptr, nullptr) < 0) {
+        delete r;
+        return nullptr;
+    }
+    if (avformat_find_stream_info(r->fmt, nullptr) < 0) {
+        avformat_close_input(&r->fmt);
+        delete r;
+        return nullptr;
+    }
+    const AVCodec* codec = nullptr;
+    r->stream_idx = av_find_best_stream(r->fmt, AVMEDIA_TYPE_VIDEO, -1, -1,
+                                        &codec, 0);
+    if (r->stream_idx < 0 || !codec) {
+        avformat_close_input(&r->fmt);
+        delete r;
+        return nullptr;
+    }
+    AVStream* st = r->fmt->streams[r->stream_idx];
+    r->dec = avcodec_alloc_context3(codec);
+    avcodec_parameters_to_context(r->dec, st->codecpar);
+    r->dec->thread_count = 0;  // auto
+    if (avcodec_open2(r->dec, codec, nullptr) < 0) {
+        avcodec_free_context(&r->dec);
+        avformat_close_input(&r->fmt);
+        delete r;
+        return nullptr;
+    }
+    r->width = r->dec->width;
+    r->height = r->dec->height;
+    // fps: prefer avg_frame_rate (what cv2's FFmpeg backend reports)
+    AVRational fr = st->avg_frame_rate;
+    if (fr.num == 0 || fr.den == 0) fr = st->r_frame_rate;
+    r->fps = (fr.den != 0) ? av_q2d(fr) : 0.0;
+    // frame count: nb_frames if present, else duration * fps
+    r->frame_count = st->nb_frames;
+    if (r->frame_count <= 0 && st->duration != AV_NOPTS_VALUE && r->fps > 0) {
+        r->frame_count = llrint(st->duration * av_q2d(st->time_base) * r->fps);
+    }
+    if (r->frame_count <= 0 && r->fmt->duration != AV_NOPTS_VALUE && r->fps > 0) {
+        r->frame_count = llrint(
+            (r->fmt->duration / (double)AV_TIME_BASE) * r->fps);
+    }
+    r->pkt = av_packet_alloc();
+    r->frame = av_frame_alloc();
+    r->next_index = 0;
+    return r;
+}
+
+int ofio_props(void* h, double* fps, int64_t* frame_count, int* width,
+               int* height) {
+    if (!h) return 0;
+    Reader* r = static_cast<Reader*>(h);
+    *fps = r->fps;
+    *frame_count = r->frame_count;
+    *width = r->width;
+    *height = r->height;
+    return 1;
+}
+
+// Read frame floor(pos) as BGR24 into out (height*width*3 bytes).
+// Returns 1 on success, 0 on EOF/failure (cv2 `ret` semantics).
+int ofio_read_frame(void* h, double pos, uint8_t* out) {
+    if (!h) return 0;
+    Reader* r = static_cast<Reader*>(h);
+    int64_t target = static_cast<int64_t>(std::floor(pos));  // cv2: trunc
+    if (target < 0) target = 0;
+
+    if (target < r->next_index || target > r->next_index + 64 || r->at_eof) {
+        // random access: seek to the keyframe at/before target, resync
+        int64_t ts = index_to_pts(r, target);
+        if (av_seek_frame(r->fmt, r->stream_idx, ts, AVSEEK_FLAG_BACKWARD) < 0)
+            return 0;
+        avcodec_flush_buffers(r->dec);
+        r->at_eof = false;
+        r->next_index = -1;  // unknown until first decoded frame
+    }
+
+    while (true) {
+        if (decode_next(r) != 0) {
+            r->at_eof = true;
+            return 0;
+        }
+        int64_t idx;
+        if (r->next_index < 0) {
+            int64_t pts = r->frame->best_effort_timestamp;
+            if (pts == AV_NOPTS_VALUE) pts = r->frame->pts;
+            idx = (pts == AV_NOPTS_VALUE) ? 0 : pts_to_index(r, pts);
+        } else {
+            idx = r->next_index;
+        }
+        r->next_index = idx + 1;
+        if (idx >= target) break;
+        av_frame_unref(r->frame);
+    }
+
+    if (!r->sws || r->frame->width != r->width || r->frame->height != r->height) {
+        if (r->sws) sws_freeContext(r->sws);
+        r->sws = sws_getContext(
+            r->frame->width, r->frame->height,
+            static_cast<AVPixelFormat>(r->frame->format),
+            r->width, r->height, AV_PIX_FMT_BGR24,
+            SWS_BILINEAR, nullptr, nullptr, nullptr);
+        if (!r->sws) return 0;
+    }
+    uint8_t* dst[4] = {out, nullptr, nullptr, nullptr};
+    int dst_stride[4] = {r->width * 3, 0, 0, 0};
+    sws_scale(r->sws, r->frame->data, r->frame->linesize, 0, r->frame->height,
+              dst, dst_stride);
+    av_frame_unref(r->frame);
+    return 1;
+}
+
+void ofio_close(void* h) {
+    if (!h) return;
+    Reader* r = static_cast<Reader*>(h);
+    if (r->sws) sws_freeContext(r->sws);
+    if (r->frame) av_frame_free(&r->frame);
+    if (r->pkt) av_packet_free(&r->pkt);
+    if (r->dec) avcodec_free_context(&r->dec);
+    if (r->fmt) avformat_close_input(&r->fmt);
+    delete r;
+}
+
+// JPEG encode BGR24 (cv2.imwrite defaults: quality 95, 4:2:0, baseline).
+// Returns 1 on success.
+int ofio_jpeg_write(const char* path, const uint8_t* bgr, int width,
+                    int height, int quality) {
+    FILE* f = fopen(path, "wb");
+    if (!f) return 0;
+    jpeg_compress_struct cinfo;
+    jpeg_error_mgr jerr;
+    cinfo.err = jpeg_std_error(&jerr);
+    jpeg_create_compress(&cinfo);
+    jpeg_stdio_dest(&cinfo, f);
+    cinfo.image_width = width;
+    cinfo.image_height = height;
+    cinfo.input_components = 3;
+    cinfo.in_color_space = JCS_EXT_BGR;
+    jpeg_set_defaults(&cinfo);
+    jpeg_set_quality(&cinfo, quality, TRUE);
+    jpeg_start_compress(&cinfo, TRUE);
+    const int stride = width * 3;
+    JSAMPROW row;
+    while (cinfo.next_scanline < cinfo.image_height) {
+        row = const_cast<JSAMPROW>(bgr + cinfo.next_scanline * stride);
+        jpeg_write_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_compress(&cinfo);
+    jpeg_destroy_compress(&cinfo);
+    fclose(f);
+    return 1;
+}
+
+}  // extern "C"

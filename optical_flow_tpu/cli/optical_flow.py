@@ -1,0 +1,61 @@
+"""Extractor CLI — flag-compatible with the reference
+(`optical_flow.py:171-185`):
+
+    python -m optical_flow_tpu.cli.optical_flow <features_root> [videoids...]
+        [--frame_width 129] [--step_size 300] [--window_size 300]
+        [--top_percentile 5] [--force_run False]
+
+Same positional/flag names, same defaults, same string-typed --force_run.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from tqdm import tqdm
+
+from optical_flow_tpu.pipeline.extractor import run_corpus
+from optical_flow_tpu.utils.config import ExtractorConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("features_root",
+                        help="the directory where the images are to be stored")
+    parser.add_argument("videoids", nargs="*",
+                        help="List of video ids. If empty, entire corpus is "
+                             "iterated.")
+    parser.add_argument("--frame_width", type=int, default=129,
+                        help="set the width at which to which the frames are "
+                             "rescaled, default is 129")
+    parser.add_argument("--step_size", type=int, default=300,
+                        help="defines at which distances the optical flow is "
+                             "calculated, in milliseconds, default is 300")
+    parser.add_argument("--window_size", type=int, default=300,
+                        help="defines the range in which images for optical "
+                             "flow calculation are extracted, if window_size "
+                             "is equal to step_size two frames are extracted,"
+                             " default is 300")
+    parser.add_argument("--top_percentile", type=int, default=5,
+                        help="set the percentage of magnitudes that are used "
+                             "to determine the max magnitude,")
+    parser.add_argument("--force_run", default="False",
+                        help="sets whether the script runs regardless of the "
+                             "version of .done-files")
+    return parser
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    config = ExtractorConfig(
+        frame_width=args.frame_width,
+        step_size=args.step_size,
+        window_size=args.window_size,
+        top_percentile=args.top_percentile,
+        force_run=args.force_run,
+    )
+    run_corpus(args.features_root, args.videoids, config, progress=tqdm)
+
+
+if __name__ == "__main__":
+    main()

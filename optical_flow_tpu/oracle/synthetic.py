@@ -1,0 +1,73 @@
+"""Synthetic test-data generators (the reference repo ships no fixtures —
+SURVEY.md section 4 — so flow accuracy is tested against known ground-truth
+displacements on procedurally generated frames)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def smooth_texture_pair(h: int, w: int, shift=(1, 2), seed: int = 42,
+                        smooth_sigma: float = 3.0):
+    """Two uint8 frames of smooth random texture, the second displaced by
+    integer (dy, dx) via crop shifting.  Ground-truth flow is (-dx, -dy)
+    in cv2 convention (content moves opposite to the crop window)."""
+    r = np.random.default_rng(seed)
+    base = r.uniform(0, 255, (h * 2, w * 2)).astype(np.float32)
+    # separable binomial-ish smoothing without cv2
+    k = int(smooth_sigma * 4) | 1
+    x = np.arange(k) - k // 2
+    g = np.exp(-(x * x) / (2 * smooth_sigma ** 2)).astype(np.float32)
+    g /= g.sum()
+    base = np.apply_along_axis(lambda m: np.convolve(m, g, mode="same"), 0, base)
+    base = np.apply_along_axis(lambda m: np.convolve(m, g, mode="same"), 1, base)
+    base = (base - base.min()) / (base.max() - base.min()) * 255.0
+    dy, dx = shift
+    f1 = base[h // 2:h // 2 + h, w // 2:w // 2 + w].astype(np.uint8)
+    f2 = base[h // 2 + dy:h // 2 + dy + h,
+              w // 2 + dx:w // 2 + dx + w].astype(np.uint8)
+    return f1, f2
+
+
+def quadratic_pair(h: int, w: int, d=(0.5, -0.3), coeffs=(2.0, 1.5, 0.15, 0.10, 0.05)):
+    """A quadratic-surface frame pair with exact sub-pixel shift d=(dx, dy).
+
+    Farnebäck's model is exact on quadratics, so interior flow should equal
+    d up to uint8 quantization — used for strict stage-level checks."""
+    bx, by, axx, ayy, axy = coeffs
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+
+    def f(y, x):
+        yc, xc = y - h / 2, x - w / 2
+        return 120 + bx * xc + by * yc + axx * xc ** 2 + ayy * yc ** 2 + axy * xc * yc
+
+    i1 = np.clip(f(ys, xs), 0, 255).astype(np.uint8)
+    i2 = np.clip(f(ys - d[1], xs - d[0]), 0, 255).astype(np.uint8)
+    return i1, i2
+
+
+def write_synthetic_video(path: str, n_frames: int = 50, h: int = 120,
+                          w: int = 160, fps: float = 25.0, seed: int = 0):
+    """Write a small mp4 with per-frame translating texture via cv2 (oracle
+    only).  Returns the per-frame (dx, dy) ground-truth displacements."""
+    import cv2  # oracle-only dependency
+
+    r = np.random.default_rng(seed)
+    base_h, base_w = h + 4 * n_frames, w + 4 * n_frames
+    base = r.uniform(0, 255, (base_h, base_w, 3)).astype(np.float32)
+    base = cv2.GaussianBlur(base, (0, 0), 4) * 4
+    base = np.clip(base - base.min(), 0, 255).astype(np.uint8)
+
+    fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+    vw = cv2.VideoWriter(path, fourcc, fps, (w, h))
+    if not vw.isOpened():
+        raise RuntimeError("cv2.VideoWriter failed to open (oracle)")
+    offs = []
+    ox = oy = 0
+    for i in range(n_frames):
+        vw.write(base[oy:oy + h, ox:ox + w])
+        offs.append((ox, oy))
+        ox += int(r.integers(0, 3))
+        oy += int(r.integers(0, 3))
+    vw.release()
+    return offs

@@ -1,0 +1,172 @@
+"""Corpus motion-magnitude extractor (TPU re-expression of
+`optical_flow.py:69-168`).
+
+Behavioral contract (all verified against the reference semantics):
+  * ms -> frame conversion truncates: `int(fps*ms/1000)`
+    (`optical_flow.py:77-78`);
+  * centered windows `(max(0, c-w//2), min(tot-1, c+w//2))` for
+    `c in range(0, tot, step)` (`:80`);
+  * the first failed frame read aborts all remaining windows (`:89-96`);
+  * zero successful windows raises (`:101-102`);
+  * per-position aggregation means all window magnitudes with
+    `start <= pos < end` (`:107-112`), WARN-logging empty positions;
+  * timestamps `int(pos/fps*1000)` of first/last aggregated position
+    (`:114-115`);
+  * magnitudes scaled by the `top_percentile`-th percentile, clipped to
+    [0,1], x100, rounded to 2 decimals (`:120-125` — note the default 5 is
+    the 5th/LOW percentile; preserved as-is, SURVEY.md 2a);
+  * `.done` sentinel versioning and `force_run == 'True'` string comparison
+    (`:149-168`).
+
+TPU-first difference: instead of a per-window Python loop of
+seek->decode->flow (the reference's hot loop, SURVEY.md 3.1), unique frame
+indices are decoded once, staged to device as one batch, and all window
+pairs run through the vmapped Farnebäck pyramid in fixed-size chunks.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from optical_flow_tpu.io.sidecar import DoneSentinel, write_mag_to_csv
+from optical_flow_tpu.io.video import VideoReader
+from optical_flow_tpu.models.farneback import calc_flow_batched
+from optical_flow_tpu.ops import bgr2gray_u8, resize_frame_u8
+from optical_flow_tpu.ops.polar import cart_to_polar
+from optical_flow_tpu.utils.config import ExtractorConfig, EXTRACTOR
+from optical_flow_tpu.utils.logging import get_logger
+
+logger = get_logger("optical_flow_tpu.extractor")
+
+# frame pairs per device dispatch (keeps HBM bounded at large resolutions)
+PAIR_CHUNK = 32
+
+
+def _window_schedule(tot_frames: int, fps: float, step_ms: int, window_ms: int):
+    step = int(fps * step_ms / 1000)
+    win = int(fps * window_ms / 1000)
+    if step <= 0:
+        # reference crashes with range(0, tot, 0); give a clear error instead
+        raise ValueError(
+            f"step_size={step_ms}ms is shorter than one frame at fps={fps}")
+    windows = [
+        (max(0, c - int(win / 2.0)), min(tot_frames - 1, c + int(win / 2.0)))
+        for c in range(0, tot_frames, step)
+    ]
+    return windows, step
+
+
+def _magnitude_sums(prev_batch: np.ndarray, next_batch: np.ndarray,
+                    config: ExtractorConfig) -> np.ndarray:
+    """Summed flow magnitude per frame pair — `np.sum(mag)` of
+    `calculate_optical_flow` (`optical_flow.py:49-66`), batched on device."""
+    flow = calc_flow_batched(jnp.asarray(prev_batch), jnp.asarray(next_batch),
+                             config.farneback)
+    mag, _ = cart_to_polar(flow[..., 0], flow[..., 1])
+    return np.asarray(jnp.sum(mag, axis=(-2, -1)))
+
+
+def extract_video(v_path: str, config: ExtractorConfig
+                  ) -> Tuple[List[float], List[int]]:
+    """Per-video pipeline: returns ([aggregated mags], [start_ms, end_ms]).
+
+    Mirrors `get_optical_flow` (`optical_flow.py:69-117`).
+    """
+    vid = VideoReader(v_path)
+    if not vid.is_opened():
+        raise IOError(f"Unable to read from video: '{v_path}'")
+
+    tot_frames = vid.frame_count
+    fps = vid.fps
+    windows, step = _window_schedule(tot_frames, fps, config.step_size,
+                                     config.window_size)
+
+    # decode each needed frame once, in ascending order; stop at first
+    # failure (reference early-break semantics: a window is included iff
+    # both its frames decode AND no earlier window failed)
+    needed = sorted({i for w in windows for i in w})
+    frames = {}
+    failed_at = None
+    for idx in needed:
+        ret, frame = vid.read_at(idx)
+        if not ret:
+            failed_at = idx
+            break
+        frames[idx] = frame
+    vid.release()
+
+    ok_windows = []
+    for start, end in windows:
+        if failed_at is not None and (start >= failed_at or end >= failed_at):
+            break
+        ok_windows.append((start, end))
+    if not ok_windows:
+        raise Exception(
+            "Unable to extract the optical flow, no frames where found.")
+
+    # preprocess on device: resize (cv2 u8 fixed point) + gray, batched
+    def prep(idx_list):
+        batch = np.stack([frames[i] for i in idx_list])
+        out = []
+        for f in batch:   # static per-shape; same video => same shape
+            g = bgr2gray_u8(resize_frame_u8(jnp.asarray(f), config.frame_width)
+                            if config.frame_width else jnp.asarray(f))
+            out.append(np.asarray(g))
+        return np.stack(out)
+
+    mags: List[Tuple[int, int, float]] = []
+    for c0 in range(0, len(ok_windows), PAIR_CHUNK):
+        chunk = ok_windows[c0:c0 + PAIR_CHUNK]
+        prev = prep([w[0] for w in chunk])
+        nxt = prep([w[1] for w in chunk])
+        sums = _magnitude_sums(prev, nxt, config)
+        for (start, end), s in zip(chunk, sums):
+            mags.append((start, end, float(s)))
+
+    # aggregation (`optical_flow.py:106-112`)
+    agg: List[Tuple[int, float]] = []
+    for pos in range(0, tot_frames, step):
+        vals = [m[2] for m in mags if pos >= m[0] and pos < m[1]]
+        if vals:
+            agg.append((pos, float(np.mean(vals))))
+        else:
+            logger.info("WARN: no entry for pos={pos}".format(pos=pos))
+
+    start_ms = int(agg[0][0] / fps * 1000)
+    end_ms = int(agg[-1][0] / fps * 1000)
+    return [a[1] for a in agg], [start_ms, end_ms]
+
+
+def scale_magnitudes(mag: Sequence[float], top_percentile: int):
+    """`scale_magnitudes` (`optical_flow.py:120-125`), numerics preserved."""
+    mag = np.asarray(mag)
+    scaled = mag / np.percentile(mag, top_percentile)
+    scaled = np.clip(scaled, a_min=0, a_max=1) * 100.0
+    return list(np.round(scaled, decimals=2))
+
+
+def run_corpus(features_root: str, videoids: Sequence[str],
+               config: ExtractorConfig, progress=None) -> None:
+    """Corpus driver (`optical_flow.py:135-168`): paths, .done gating, CSV."""
+    logger.info("Computing optical flow for {0} videos".format(len(videoids)))
+    iterator = progress(videoids) if progress else videoids
+    for videoid in iterator:
+        features_dir = os.path.join(features_root, videoid, EXTRACTOR)
+        v_path = os.path.join(features_root, videoid, "media",
+                              videoid + ".mp4")
+        if not os.path.isdir(features_dir):
+            os.makedirs(features_dir)
+        f_path_csv = os.path.join(features_dir, f"{videoid}.csv")
+        sentinel = DoneSentinel(features_dir, config.done_version)
+
+        if not sentinel.is_done() or config.force_run == "True":
+            aggregated, timestamps = extract_video(v_path, config)
+            scaled = scale_magnitudes(aggregated, config.top_percentile)
+            write_mag_to_csv(f_path_csv, scaled, timestamps)
+            sentinel.mark_done()
+        else:
+            logger.info("optical flow was already done")

@@ -1,0 +1,28 @@
+"""Test harness configuration.
+
+Tests run on CPU with 8 virtual devices (the standard JAX trick for
+exercising multi-chip sharding without hardware — SURVEY.md section 4),
+regardless of any TPU attached to the session.  bench.py, NOT the tests,
+runs on the real chip.
+"""
+
+import os
+
+# Must happen before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+# Persistent compilation cache: the parity suite compiles many pyramid
+# shapes; caching cuts repeat runs from ~15 min to seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_oft")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,156 @@
+"""Farnebäck parity vs cv2.calcOpticalFlowFarneback.
+
+Gates (BASELINE.json north star: mean EPE <= 0.5 px):
+  * interior agreement to ~1e-4 at iterations=1 (stage math is exact);
+  * full-frame mean EPE well under the 0.5 gate at reference defaults;
+  * known deviation: cv2 shows an unexplained trailing-edge asymmetry (its
+    own output is not 180-rotation-equivariant, ours is) — max differences
+    concentrate in a ~winsize band at borders.
+"""
+
+import cv2
+import numpy as np
+import pytest
+
+from optical_flow_tpu.models.farneback import calc_flow, calc_flow_batched
+from optical_flow_tpu.models.farneback.params import effective_levels
+from optical_flow_tpu.oracle import smooth_texture_pair, quadratic_pair
+from optical_flow_tpu.utils.config import FarnebackConfig, OPTFLOW_FARNEBACK_GAUSSIAN
+
+DEFAULTS = FarnebackConfig()
+
+
+def cv_flow(f1, f2, cfg=DEFAULTS):
+    return cv2.calcOpticalFlowFarneback(
+        f1, f2, None, cfg.pyr_scale, cfg.levels, cfg.winsize,
+        cfg.iterations, cfg.poly_n, cfg.poly_sigma, cfg.flags)
+
+
+def epe(a, b):
+    return np.sqrt(((np.asarray(a) - b) ** 2).sum(-1))
+
+
+class TestLevelClipping:
+    def test_clip_rule_matches_cv2_behavior(self):
+        # verified empirically in SURVEY.md 2d: 128 px keeps 2 extra levels,
+        # 126 keeps 1, 256 keeps 3 (with levels=3 requested)
+        assert effective_levels(128, 128, 3, 0.5) == 2
+        assert effective_levels(126, 126, 3, 0.5) == 1
+        assert effective_levels(256, 256, 3, 0.5) == 3
+        assert effective_levels(256, 256, 5, 0.5) == 3
+
+    def test_cv2_levels_equivalence(self):
+        # cv2 with levels=3 vs levels=5 must be identical on a 128px frame
+        f1, f2 = smooth_texture_pair(128, 128, (1, 1))
+        a = cv_flow(f1, f2, FarnebackConfig(levels=3))
+        b = cv_flow(f1, f2, FarnebackConfig(levels=5))
+        np.testing.assert_array_equal(a, b)
+
+
+class TestSingleLevel:
+    def test_interior_exact_one_iteration(self):
+        # 60 px -> clipped to a single level; iterations=1 isolates
+        # polyexp + update + blur + solve
+        f1, f2 = smooth_texture_pair(60, 60, (1, 2))
+        cfg = FarnebackConfig(iterations=1)
+        ours = np.asarray(calc_flow(f1, f2, cfg))
+        ref = cv_flow(f1, f2, cfg)
+        interior = np.abs(ours - ref)[8:-8, 8:-8]
+        assert interior.max() < 1e-3, f"interior max diff {interior.max()}"
+
+    def test_quadratic_recovers_shift(self):
+        # Farnebäck is exact on quadratics: interior flow == true shift
+        d = (0.5, -0.3)
+        f1, f2 = quadratic_pair(33, 33, d)
+        cfg = FarnebackConfig(levels=1, winsize=3, iterations=1)
+        ours = np.asarray(calc_flow(f1, f2, cfg))
+        ref = cv_flow(f1, f2, cfg)
+        np.testing.assert_allclose(ours[10:-10, 10:-10], ref[10:-10, 10:-10],
+                                   atol=1e-3)
+
+
+class TestFullDefaults:
+    @pytest.mark.parametrize("h,w,shift", [
+        (60, 60, (1, 2)),
+        (120, 160, (2, 1)),
+        (240, 320, (2, 3)),
+    ])
+    def test_epe_vs_cv2(self, h, w, shift):
+        f1, f2 = smooth_texture_pair(h, w, shift)
+        ours = calc_flow(f1, f2, DEFAULTS)
+        ref = cv_flow(f1, f2)
+        e = epe(ours, ref)
+        # small frames: cv2's trailing-edge quirk (see module docstring)
+        # contaminates most of the area through coarse pyramid levels
+        assert e.mean() < 0.25, f"mean EPE {e.mean()}"
+
+    def test_480p_epe_gate(self):
+        # BASELINE.json config 1: single 480p frame pair, default params.
+        # Gate: mean EPE <= 0.5 px vs cv2.  The residual (~0.2 px on weak
+        # texture) is cv2 5.0's trailing-edge anomaly amplified through
+        # coarse pyramid levels; our implementation follows the classic
+        # Farnebäck algorithm (what the reference's pinned OpenCV 4.2 ran)
+        # and is spatially symmetric, cv2 5.0 is not (see module docstring).
+        f1, f2 = smooth_texture_pair(480, 854, (2, 3), smooth_sigma=4.0)
+        ours = calc_flow(f1, f2, DEFAULTS)
+        ref = cv_flow(f1, f2)
+        e = epe(ours, ref)
+        assert e.mean() < 0.3, f"480p mean EPE {e.mean()}"
+
+    def test_recovers_true_shift(self):
+        f1, f2 = smooth_texture_pair(240, 320, (2, 3))
+        ours = np.asarray(calc_flow(f1, f2, DEFAULTS))
+        # crop moved by (dy=2, dx=3) -> content flow = (-3, -2)
+        med = np.median(ours[30:-30, 30:-30], axis=(0, 1))
+        np.testing.assert_allclose(med, [-3.0, -2.0], atol=0.15)
+
+    def test_extractor_default_resolution(self):
+        # the extractor runs at width 129 (optical_flow.py:176): 129x72-ish
+        f1, f2 = smooth_texture_pair(72, 129, (1, 1))
+        ours = calc_flow(f1, f2, DEFAULTS)
+        ref = cv_flow(f1, f2)
+        e = epe(ours, ref)
+        assert e.mean() < 0.25, f"mean EPE {e.mean()}"
+
+    def test_batched_matches_single(self):
+        f1a, f2a = smooth_texture_pair(64, 96, (1, 2), seed=1)
+        f1b, f2b = smooth_texture_pair(64, 96, (2, 0), seed=2)
+        batch = calc_flow_batched(np.stack([f1a, f1b]), np.stack([f2a, f2b]))
+        single_a = calc_flow(f1a, f2a)
+        single_b = calc_flow(f1b, f2b)
+        np.testing.assert_allclose(np.asarray(batch[0]), np.asarray(single_a),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(batch[1]), np.asarray(single_b),
+                                   atol=1e-5)
+
+
+class TestVariants:
+    def test_gaussian_window_flag(self):
+        f1, f2 = smooth_texture_pair(80, 80, (1, 1))
+        cfg = FarnebackConfig(flags=OPTFLOW_FARNEBACK_GAUSSIAN)
+        ours = calc_flow(f1, f2, cfg)
+        ref = cv_flow(f1, f2, cfg)
+        e = epe(ours, ref)
+        assert e.mean() < 0.3, f"gaussian-window mean EPE {e.mean()}"
+
+    @pytest.mark.parametrize("winsize", [7, 11, 21])
+    def test_winsize_sweep(self, winsize):
+        f1, f2 = smooth_texture_pair(100, 100, (1, 2))
+        cfg = FarnebackConfig(winsize=winsize)
+        e = epe(calc_flow(f1, f2, cfg), cv_flow(f1, f2, cfg))
+        assert e.mean() < 0.45, f"winsize={winsize} mean EPE {e.mean()}"
+
+    @pytest.mark.parametrize("poly_n,poly_sigma", [(5, 1.1), (7, 1.5)])
+    def test_poly_sweep(self, poly_n, poly_sigma):
+        f1, f2 = smooth_texture_pair(100, 100, (2, 1))
+        cfg = FarnebackConfig(poly_n=poly_n, poly_sigma=poly_sigma)
+        e = epe(calc_flow(f1, f2, cfg), cv_flow(f1, f2, cfg))
+        assert e.mean() < 0.3, f"poly {poly_n}/{poly_sigma} mean EPE {e.mean()}"
+
+    def test_pyr_scale_08(self):
+        f1, f2 = smooth_texture_pair(100, 100, (1, 1))
+        cfg = FarnebackConfig(pyr_scale=0.8, levels=4)
+        e = epe(calc_flow(f1, f2, cfg), cv_flow(f1, f2, cfg))
+        # 5 pyramid scales on a 100px frame: cv2's trailing-edge anomaly
+        # accumulates once per level — still inside the 0.5 EPE north star
+        assert e.mean() < 0.5, f"pyr_scale=0.8 mean EPE {e.mean()}"

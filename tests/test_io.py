@@ -1,0 +1,65 @@
+"""Native decode/encode runtime vs cv2 (VideoCapture / imwrite semantics)."""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from optical_flow_tpu.io.jpeg import write_jpeg_bgr
+from optical_flow_tpu.io.video import VideoReader
+from optical_flow_tpu.oracle.synthetic import write_synthetic_video
+
+
+@pytest.fixture(scope="module")
+def synthetic_video(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("vid") / "test.mp4")
+    write_synthetic_video(path, n_frames=40, h=120, w=160, fps=25.0)
+    return path
+
+
+class TestVideoReader:
+    def test_props_match_cv2(self, synthetic_video):
+        vc = cv2.VideoCapture(synthetic_video)
+        vr = VideoReader(synthetic_video)
+        assert vr.fps == vc.get(cv2.CAP_PROP_FPS)
+        assert vr.frame_count == int(vc.get(cv2.CAP_PROP_FRAME_COUNT))
+        assert vr.width == int(vc.get(cv2.CAP_PROP_FRAME_WIDTH))
+        assert vr.height == int(vc.get(cv2.CAP_PROP_FRAME_HEIGHT))
+
+    @pytest.mark.parametrize("pos", [0, 5, 17.0, 17.9, 3, 39, 38.5, 12.3])
+    def test_seek_decode_byte_exact(self, synthetic_video, pos):
+        # float positions decode floor(pos) — verified CAP_PROP_POS_FRAMES
+        # behavior (SURVEY.md 2c #4)
+        vc = cv2.VideoCapture(synthetic_video)
+        vc.set(cv2.CAP_PROP_POS_FRAMES, pos)
+        r_ref, f_ref = vc.read()
+        vr = VideoReader(synthetic_video)
+        r_our, f_our = vr.read_at(pos)
+        assert r_our == r_ref
+        np.testing.assert_array_equal(f_our, f_ref)
+
+    def test_eof_returns_false(self, synthetic_video):
+        vr = VideoReader(synthetic_video)
+        ret, frame = vr.read_at(40)
+        assert ret is False and frame is None
+
+    def test_unopenable(self, tmp_path):
+        vr = VideoReader(str(tmp_path / "nope.mp4"))
+        assert not vr.is_opened()
+
+
+class TestJpeg:
+    def test_bytes_match_cv2_default(self, tmp_path, rng):
+        img = rng.integers(0, 256, (64, 80, 3), dtype=np.uint8)
+        ours = str(tmp_path / "ours.jpeg")
+        ref = str(tmp_path / "ref.jpeg")
+        write_jpeg_bgr(ours, img)
+        cv2.imwrite(ref, img)   # default quality 95 (verified empirically)
+        with open(ours, "rb") as a, open(ref, "rb") as b:
+            ours_b, ref_b = a.read(), b.read()
+        if ours_b != ref_b:
+            # tolerate metadata-only differences: decoded pixels must match
+            da = cv2.imread(ours)
+            db = cv2.imread(ref)
+            np.testing.assert_array_equal(da, db)

@@ -1,0 +1,132 @@
+"""End-to-end golden tests: our CLIs vs the ACTUAL reference scripts.
+
+The reference scripts at /root/reference are executed as subprocesses on a
+synthetic corpus (they only need cv2/numpy/tqdm); our CLIs run on a copy of
+the same corpus.  File layout, names, CSV structure and .done contents must
+match exactly; numeric values are tolerance-gated because the flow kernels
+differ at the documented sub-pixel level.
+"""
+
+import os
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from optical_flow_tpu.oracle.synthetic import write_synthetic_video
+
+REFERENCE_DIR = "/root/reference"
+
+
+def _make_corpus(root, videoids):
+    for vid in videoids:
+        media = os.path.join(root, vid, "media")
+        os.makedirs(media)
+        write_synthetic_video(os.path.join(media, vid + ".mp4"),
+                              n_frames=40, h=120, w=160, fps=25.0,
+                              seed=hash(vid) % 1000)
+
+
+@pytest.fixture(scope="module")
+def corpora(tmp_path_factory):
+    base = tmp_path_factory.mktemp("corpus")
+    ref_root = str(base / "ref")
+    our_root = str(base / "ours")
+    videoids = ["vidA", "vidB"]
+    _make_corpus(ref_root, videoids)
+    shutil.copytree(ref_root, our_root)
+    return ref_root, our_root, videoids
+
+
+def _run_reference_extractor(root, videoids):
+    subprocess.run(
+        [sys.executable, os.path.join(REFERENCE_DIR, "optical_flow.py"),
+         root] + videoids,
+        check=True, capture_output=True, text=True, cwd=REFERENCE_DIR)
+
+
+def _run_our_extractor(root, videoids):
+    from optical_flow_tpu.cli.optical_flow import main
+    main([root] + videoids)
+
+
+class TestExtractorGolden:
+    def test_csv_and_done_parity(self, corpora):
+        ref_root, our_root, videoids = corpora
+        _run_reference_extractor(ref_root, videoids)
+        _run_our_extractor(our_root, videoids)
+
+        for vid in videoids:
+            ref_csv = os.path.join(ref_root, vid, "opticalflow", vid + ".csv")
+            our_csv = os.path.join(our_root, vid, "opticalflow", vid + ".csv")
+            assert os.path.isfile(ref_csv) and os.path.isfile(our_csv)
+            with open(ref_csv) as f:
+                ref_line = f.read()
+            with open(our_csv) as f:
+                our_line = f.read()
+            r_start, r_end, r_mags = ref_line.split("\t")
+            o_start, o_end, o_mags = our_line.split("\t")
+            assert (r_start, r_end) == (o_start, o_end)
+            rm = np.array([float(x) for x in r_mags.split(" ")])
+            om = np.array([float(x) for x in o_mags.split(" ")])
+            assert rm.shape == om.shape
+            # values are percentile-scaled to [0,100]; sub-pixel flow
+            # differences shift them slightly
+            np.testing.assert_allclose(om, rm, atol=2.5,
+                                       err_msg=f"CSV values diverge for {vid}")
+
+            ref_done = os.path.join(ref_root, vid, "opticalflow", ".done")
+            our_done = os.path.join(our_root, vid, "opticalflow", ".done")
+            with open(ref_done) as f, open(our_done) as g:
+                assert f.read() == g.read()
+
+    def test_done_skip_and_force_run(self, corpora):
+        _, our_root, videoids = corpora
+        vid = videoids[0]
+        csv = os.path.join(our_root, vid, "opticalflow", vid + ".csv")
+        mtime = os.path.getmtime(csv)
+        from optical_flow_tpu.cli.optical_flow import main
+        main([our_root, vid])                       # .done matches: skip
+        assert os.path.getmtime(csv) == mtime
+        main([our_root, vid, "--force_run", "True"])  # string override
+        assert os.path.getmtime(csv) >= mtime
+
+
+class TestVisualizerGolden:
+    def test_filenames_and_pixels(self, tmp_path):
+        video = str(tmp_path / "clip.mp4")
+        write_synthetic_video(video, n_frames=50, h=120, w=160, fps=25.0)
+        ref_out = str(tmp_path / "ref_images")
+        our_out = str(tmp_path / "our_images")
+
+        subprocess.run(
+            [sys.executable,
+             os.path.join(REFERENCE_DIR, "visualize_optical_flow.py"),
+             video, ref_out, "200", "1800"],
+            check=True, capture_output=True, text=True, cwd=REFERENCE_DIR)
+        from optical_flow_tpu.cli.visualize_optical_flow import main
+        main([video, our_out, "200", "1800"])
+
+        ref_files = sorted(os.listdir(ref_out))
+        our_files = sorted(os.listdir(our_out))
+        assert ref_files == our_files and len(ref_files) > 0
+
+        import cv2
+        for name in ref_files:
+            a = cv2.imread(os.path.join(ref_out, name))
+            b = cv2.imread(os.path.join(our_out, name))
+            assert a.shape == b.shape
+            if name.startswith("source_"):
+                # identical decode path + identical JPEG encode
+                np.testing.assert_array_equal(a, b, err_msg=name)
+            else:
+                # flow images: sub-pixel flow differences shift hue/value,
+                # and hue is chaotic where |flow| ~ 0 (angle of noise);
+                # demand close agreement for the vast majority of pixels and
+                # a small mean deviation overall
+                diff = np.abs(a.astype(int) - b.astype(int))
+                frac_off = (diff.max(-1) > 24).mean()
+                assert frac_off < 0.10, f"{name}: {frac_off:.3f} pixels differ"
+                assert diff.mean() < 10.0, f"{name}: mean diff {diff.mean():.2f}"
