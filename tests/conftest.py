@@ -8,8 +8,10 @@ runs on the real chip.
 
 import os
 
-# Must happen before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must happen before any jax backend is initialized.  The image's
+# sitecustomize pre-registers the axon TPU plugin at interpreter startup
+# (env vars alone are clobbered), so force the platform via jax.config
+# before the first backend lookup.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +20,10 @@ if "xla_force_host_platform_device_count" not in flags:
 # shapes; caching cuts repeat runs from ~15 min to seconds.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_oft")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -119,9 +119,9 @@ class TestFullDefaults:
         single_a = calc_flow(f1a, f2a)
         single_b = calc_flow(f1b, f2b)
         np.testing.assert_allclose(np.asarray(batch[0]), np.asarray(single_a),
-                                   atol=1e-5)
+                                   atol=1e-4)
         np.testing.assert_allclose(np.asarray(batch[1]), np.asarray(single_b),
-                                   atol=1e-5)
+                                   atol=1e-4)
 
 
 class TestVariants:
