@@ -60,7 +60,7 @@ def gaussian_blur_reflect101(img, kernel: np.ndarray):
 
 
 def poly_exp(img, poly_n: int, poly_sigma: float):
-    """FarnebackPolyExp: (H, W) f32 -> R (5, H, W) f32.
+    """FarnebackPolyExp: (..., H, W) f32 -> R (..., 5, H, W) f32.
 
     Channel semantics (calibrated against cv2; 'order B' in the calibration
     notes): 0 = b_y, 1 = b_x, 2 = a_yy, 3 = a_xx, 4 = a_xy.
@@ -86,7 +86,7 @@ def poly_exp(img, poly_n: int, poly_sigma: float):
         b1 * jnp.float32(ig03) + b5 * jnp.float32(ig33),   # a_yy
         b1 * jnp.float32(ig03) + b4 * jnp.float32(ig33),   # a_xx
         b6 * jnp.float32(ig55),                      # a_xy
-    ])
+    ], axis=-3)
 
 
 def border_scale_field(h: int, w: int) -> np.ndarray:
@@ -103,16 +103,17 @@ def border_scale_field(h: int, w: int) -> np.ndarray:
 
 
 def update_matrices(R0, R1, flow):
-    """FarnebackUpdateMatrices: R (5, H, W), flow (2, H, W) -> M (5, H, W).
+    """FarnebackUpdateMatrices: R (..., 5, H, W), flow (..., 2, H, W) ->
+    M (..., 5, H, W).
 
     Fetches R1 at flow-displaced, cvRound-ed, clamped integer coordinates;
     out-of-image displacements fall back to R0-only terms; assembles the
     per-pixel normal equations G (2x2, 3 unique) and h (2), down-weighted
     near borders.
     """
-    _, H, W = R0.shape
-    dx = flow[0]
-    dy = flow[1]
+    H, W = R0.shape[-2:]
+    dx = flow[..., 0, :, :]
+    dy = flow[..., 1, :, :]
     ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     x1 = jnp.round(xs + dx)       # round-half-even == cvRound
@@ -120,19 +121,23 @@ def update_matrices(R0, R1, flow):
     inside = (x1 >= 0) & (x1 <= W - 1) & (y1 >= 0) & (y1 <= H - 1)
     xi = jnp.clip(x1, 0, W - 1).astype(jnp.int32)
     yi = jnp.clip(y1, 0, H - 1).astype(jnp.int32)
-    flat = (yi * W + xi).reshape(-1)
-    R1d = jnp.take(R1.reshape(5, H * W), flat, axis=1).reshape(5, H, W)
+    flat = (yi * W + xi).reshape(flow.shape[:-3] + (1, H * W))
+    R1r = R1.reshape(R1.shape[:-2] + (H * W,))
+    R1d = jnp.take_along_axis(
+        R1r, jnp.broadcast_to(flat, R1r.shape[:-1] + (H * W,)), axis=-1
+    ).reshape(R1.shape)
 
-    r2 = jnp.where(inside, R1d[0], 0.0)
-    r3 = jnp.where(inside, R1d[1], 0.0)
-    r4 = jnp.where(inside, (R0[2] + R1d[2]) * 0.5, R0[2])
-    r5 = jnp.where(inside, (R0[3] + R1d[3]) * 0.5, R0[3])
-    r6 = jnp.where(inside, (R0[4] + R1d[4]) * 0.25, R0[4] * 0.5)
+    c = lambda a, k: a[..., k, :, :]
+    r2 = jnp.where(inside, c(R1d, 0), 0.0)
+    r3 = jnp.where(inside, c(R1d, 1), 0.0)
+    r4 = jnp.where(inside, (c(R0, 2) + c(R1d, 2)) * 0.5, c(R0, 2))
+    r5 = jnp.where(inside, (c(R0, 3) + c(R1d, 3)) * 0.5, c(R0, 3))
+    r6 = jnp.where(inside, (c(R0, 4) + c(R1d, 4)) * 0.25, c(R0, 4) * 0.5)
 
     # residuals (sign convention calibrated against cv2):
     # res = (R0_b - R1_b_displaced)/2 + A*d
-    r2 = (R0[0] - r2) * 0.5 + (r4 * dy + r6 * dx)
-    r3 = (R0[1] - r3) * 0.5 + (r6 * dy + r5 * dx)
+    r2 = (c(R0, 0) - r2) * 0.5 + (r4 * dy + r6 * dx)
+    r3 = (c(R0, 1) - r3) * 0.5 + (r6 * dy + r5 * dx)
 
     sc = jnp.asarray(border_scale_field(H, W))
     r2 = r2 * sc
@@ -147,7 +152,7 @@ def update_matrices(R0, R1, flow):
         r5 * r5 + r6 * r6,        # G22 (x-x)
         r4 * r2 + r6 * r3,        # h1
         r6 * r2 + r5 * r3,        # h2
-    ])
+    ], axis=-3)
 
 
 def box_sum_replicate(M, ksize: int):
@@ -187,37 +192,41 @@ def gaussian_window_kernel(winsize: int) -> np.ndarray:
 
 
 def solve_flow(Mb, inv_area: float):
-    """Per-pixel 2x2 solve: blurred M (5, H, W) -> flow (2, H, W).
+    """Per-pixel 2x2 solve: blurred M (..., 5, H, W) -> flow (..., 2, H, W).
 
     det regularized with +1e-3 exactly like OpenCV.
     """
     s = jnp.float32(inv_area)
-    g11 = Mb[0] * s
-    g12 = Mb[1] * s
-    g22 = Mb[2] * s
-    h1 = Mb[3] * s
-    h2 = Mb[4] * s
+    g11 = Mb[..., 0, :, :] * s
+    g12 = Mb[..., 1, :, :] * s
+    g22 = Mb[..., 2, :, :] * s
+    h1 = Mb[..., 3, :, :] * s
+    h2 = Mb[..., 4, :, :] * s
     idet = 1.0 / (g11 * g22 - g12 * g12 + jnp.float32(1e-3))
     fx = (g11 * h2 - g12 * h1) * idet
     fy = (g22 * h1 - g12 * h2) * idet
-    return jnp.stack([fx, fy])
+    return jnp.stack([fx, fy], axis=-3)
 
 
 def update_flow(R0, R1, flow, winsize: int, iterations: int,
-                gaussian: bool = False):
-    """One pyramid level's iterate loop: M -> blur -> solve (x iterations)."""
-    M = update_matrices(R0, R1, flow)
-    if gaussian:
-        k = gaussian_window_kernel(winsize)
-        inv_area = 1.0
-    else:
-        inv_area = 1.0 / (winsize * winsize)
-    for i in range(iterations):
+                gaussian: bool = False, update_fn=None,
+                blur_solve_fn=None):
+    """One pyramid level's iterate loop: M -> blur -> solve (x iterations).
+
+    update_fn overrides the matrix-update implementation (e.g. the Pallas
+    displaced-fetch kernel); blur_solve_fn overrides the fused
+    blur+solve (e.g. the Pallas kernel).  Defaults are the XLA paths.
+    """
+    update_fn = update_fn or update_matrices
+    if blur_solve_fn is None:
         if gaussian:
-            Mb = _corr1d(_corr1d(M, k, axis=-1), k, axis=-2)
+            k = gaussian_window_kernel(winsize)
+            blur_solve_fn = lambda M: solve_flow(
+                _corr1d(_corr1d(M, k, axis=-1), k, axis=-2), 1.0)
         else:
-            Mb = box_sum_replicate(M, winsize)
-        flow = solve_flow(Mb, inv_area)
-        if i < iterations - 1:
-            M = update_matrices(R0, R1, flow)
+            blur_solve_fn = lambda M: solve_flow(
+                box_sum_replicate(M, winsize), 1.0 / (winsize * winsize))
+    for i in range(iterations):
+        M = update_fn(R0, R1, flow)
+        flow = blur_solve_fn(M)
     return flow

@@ -6,11 +6,12 @@ float32 flow out (x-displacement, y-displacement) — the computation the
 reference delegates to OpenCV at `optical_flow.py:51-59` and
 `visualize_optical_flow.py:38-46`.
 
-TPU-first structure: a Python loop over the (static) pyramid schedule, all
-per-level work expressed as fused stencil math over (C, H, W) arrays;
-`calc_flow_batched` vmaps the whole pyramid over a leading batch of frame
-pairs so a shot's pairs run as one XLA program.  Jitted executables are
-cached per (shape, config).
+TPU-first structure: a Python loop over the (static) pyramid schedule with
+all per-level work batch-native over (B, C, H, W) arrays — one XLA program
+per (shape, config), no vmap — so the Pallas displaced-fetch kernel (the
+hot update step) can use its own batch grid.  On TPU backends the update
+step runs the Pallas kernel for shapes it supports; everywhere else (CPU
+tests, tiny levels) the XLA gather path is used.  Both are exact.
 """
 
 from __future__ import annotations
@@ -30,52 +31,91 @@ from optical_flow_tpu.ops.resize import resize_bilinear_f32
 from optical_flow_tpu.utils.config import FarnebackConfig
 
 
-def _flow_pyramid(prev_f, next_f, plan: FarnebackPlan):
-    """Run the full coarse-to-fine schedule on one (H, W) f32 frame pair."""
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _pick_update_fn(h: int, w: int):
+    """Pallas displaced-fetch kernel on TPU when the level shape qualifies
+    and is large enough to matter; XLA gather otherwise."""
+    if _on_tpu() and min(h, w) >= 64:
+        from optical_flow_tpu.pallas.update_gather import (
+            supported_shape, update_matrices_pallas_batched)
+        if supported_shape(h, w):
+            return update_matrices_pallas_batched
+    return core.update_matrices
+
+
+def _pick_poly_exp_fn(h: int, w: int):
+    """Fused Pallas polyexp on TPU for non-trivial shapes."""
+    if _on_tpu() and min(h, w) >= 32:
+        from optical_flow_tpu.pallas.polyexp import poly_exp_pallas
+        return poly_exp_pallas
+    return core.poly_exp
+
+
+def _pick_blur_solve_fn(h: int, w: int, winsize: int, gaussian: bool):
+    """Fused Pallas blur+solve on TPU for non-trivial shapes."""
+    if _on_tpu() and min(h, w) >= 32 and winsize >= 3:
+        from optical_flow_tpu.pallas.blur_solve import (
+            update_flow_blur_solve_pallas)
+        return lambda M: update_flow_blur_solve_pallas(
+            M, winsize, gaussian=gaussian)
+    return None
+
+
+def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool):
+    """Run the full coarse-to-fine schedule on (B, H, W) f32 frame batches.
+
+    Returns (B, 2, H, W) flow (channels-first internal layout).
+    """
     cfg = plan.config
+    B = prev_f.shape[0]
     flow = None
     for lv in plan.levels:
-        R = []
-        for img in (prev_f, next_f):
-            kern = gaussian_kernel(lv.smooth_ksize, lv.smooth_sigma)
-            sm = core.gaussian_blur_reflect101(img, kern)
-            I = resize_bilinear_f32(sm, lv.width, lv.height)
-            R.append(core.poly_exp(I, cfg.poly_n, cfg.poly_sigma))
-        R0, R1 = R
+        poly_fn = (_pick_poly_exp_fn(lv.height, lv.width)
+                   if use_pallas else core.poly_exp)
+        kern = gaussian_kernel(lv.smooth_ksize, lv.smooth_sigma)
+        # both frames as one batch of 2B for the shared smoothing/polyexp
+        both = jnp.concatenate([prev_f, nxt_f], axis=0)
+        sm = core.gaussian_blur_reflect101(both, kern)
+        I = resize_bilinear_f32(sm, lv.width, lv.height)
+        Rb = poly_fn(I, cfg.poly_n, cfg.poly_sigma)
+        R0, R1 = Rb[:B], Rb[B:]
 
         if flow is None:
-            flow = jnp.zeros((2, lv.height, lv.width), jnp.float32)
+            flow = jnp.zeros((B, 2, lv.height, lv.width), jnp.float32)
         else:
             flow = resize_bilinear_f32(flow, lv.width, lv.height)
             flow = flow * jnp.float32(1.0 / cfg.pyr_scale)
 
+        update_fn = (_pick_update_fn(lv.height, lv.width)
+                     if use_pallas else core.update_matrices)
+        blur_solve_fn = (_pick_blur_solve_fn(lv.height, lv.width,
+                                             cfg.winsize,
+                                             cfg.gaussian_window)
+                         if use_pallas else None)
         flow = core.update_flow(R0, R1, flow, cfg.winsize, cfg.iterations,
-                                gaussian=cfg.gaussian_window)
+                                gaussian=cfg.gaussian_window,
+                                update_fn=update_fn,
+                                blur_solve_fn=blur_solve_fn)
     return flow
-
-
-@functools.lru_cache(maxsize=64)
-def _jitted_single(h: int, w: int, config: FarnebackConfig):
-    plan = build_plan(h, w, config)
-
-    def fn(prev, nxt):
-        flow = _flow_pyramid(prev.astype(jnp.float32),
-                             nxt.astype(jnp.float32), plan)
-        return jnp.moveaxis(flow, 0, -1)   # (H, W, 2), cv2 layout
-
-    return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=64)
 def _jitted_batched(h: int, w: int, config: FarnebackConfig):
     plan = build_plan(h, w, config)
+    use_pallas = _on_tpu()
 
-    def one(prev, nxt):
+    def fn(prev, nxt):
         flow = _flow_pyramid(prev.astype(jnp.float32),
-                             nxt.astype(jnp.float32), plan)
-        return jnp.moveaxis(flow, 0, -1)
+                             nxt.astype(jnp.float32), plan, use_pallas)
+        return jnp.moveaxis(flow, 1, -1)   # (B, H, W, 2), cv2 layout
 
-    return jax.jit(jax.vmap(one))
+    return jax.jit(fn)
 
 
 def calc_flow(prev, nxt, config: FarnebackConfig = FarnebackConfig()):
@@ -92,14 +132,14 @@ def calc_flow(prev, nxt, config: FarnebackConfig = FarnebackConfig()):
             "OPTFLOW_USE_INITIAL_FLOW is not implemented yet; the reference "
             "always passes flow=None (optical_flow.py:52)")
     h, w = prev.shape
-    return _jitted_single(h, w, config)(prev, nxt)
+    return _jitted_batched(h, w, config)(prev[None], nxt[None])[0]
 
 
 def calc_flow_batched(prev, nxt, config: FarnebackConfig = FarnebackConfig()):
     """Dense Farnebäck flow for a batch of frame pairs.
 
     prev, nxt: (B, H, W).  Returns (B, H, W, 2) float32.  The whole batch is
-    one XLA program (vmapped pyramid), the unit of work for TPU batching.
+    one XLA program, the unit of work for TPU batching.
     """
     if prev.shape != nxt.shape:
         raise ValueError(f"frame shapes differ: {prev.shape} vs {nxt.shape}")

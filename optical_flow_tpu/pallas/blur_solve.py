@@ -1,0 +1,112 @@
+"""Fused box-blur + 2x2-solve Pallas kernel (FarnebackUpdateFlow_Blur).
+
+The iterate step blurs the 5-channel M field with a winsize x winsize box
+(replicate borders) and solves a regularized 2x2 system per pixel.  In XLA
+this costs ~20 ms per 1080p x8 batch per iteration (separable passes each
+round-trip HBM).  Here the M field is replicate-padded once at XLA level,
+then one kernel pass per 8-row band does both separable sums in VMEM with
+static shifted slices and writes flow directly: ~3x less HBM traffic and
+no intermediate fields.
+
+Supports the Gaussian window variant (OPTFLOW_FARNEBACK_GAUSSIAN) with
+weighted taps.  Semantics identical to core.box_sum_replicate + solve_flow
+(f32 sums; OpenCV accumulates the running sums in f64, a <=1e-5-relative
+difference gated by the parity tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from optical_flow_tpu.models.farneback.core import gaussian_window_kernel
+
+TILE_H = 8
+
+
+def _ceil(a: int, m: int) -> int:
+    return ((a + m - 1) // m) * m
+
+
+def _kernel(mp_hbm, flow_ref, win, sem, *, m: int, pad: int, wp: int,
+            inv_area: float, taps):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    rows = 2 * pad + TILE_H
+
+    cp = pltpu.make_async_copy(
+        mp_hbm.at[b, :, pl.ds(i * TILE_H, rows), :], win, sem)
+    cp.start()
+    cp.wait()
+
+    outs = []
+    for c in range(5):
+        wc = win[c]                                    # (rows, wp)
+        # vertical: sum taps j=0..2m at row offset pad - m + j
+        v = None
+        for j in range(2 * m + 1):
+            t = wc[pad - m + j: pad - m + j + TILE_H, :]
+            t = t if taps is None else t * jnp.float32(taps[j])
+            v = t if v is None else v + t
+        # horizontal: output lane x corresponds to padded col x + pad
+        hsum = None
+        for k in range(2 * m + 1):
+            t = v[:, pad - m + k: pad - m + k + (wp - 2 * pad)]
+            t = t if taps is None else t * jnp.float32(taps[k])
+            hsum = t if hsum is None else hsum + t
+        outs.append(hsum * jnp.float32(inv_area))
+
+    g11, g12, g22, h1, h2 = outs
+    idet = 1.0 / (g11 * g22 - g12 * g12 + jnp.float32(1e-3))
+    flow_ref[0, 0] = (g11 * h2 - g12 * h1) * idet
+    flow_ref[0, 1] = (g22 * h1 - g12 * h2) * idet
+
+
+@functools.lru_cache(maxsize=64)
+def _build(batch: int, h: int, w: int, winsize: int, gaussian: bool):
+    m = winsize // 2
+    pad = _ceil(max(m, 1), TILE_H)
+    hp = _ceil(h, TILE_H)
+    wp = _ceil(w + 2 * pad, 128)
+    rows = 2 * pad + TILE_H
+    out_w = wp - 2 * pad
+
+    if gaussian:
+        taps = tuple(float(t) for t in gaussian_window_kernel(winsize))
+        inv_area = 1.0
+    else:
+        taps = None
+        inv_area = 1.0 / (winsize * winsize)
+
+    kernel = pl.pallas_call(
+        functools.partial(_kernel, m=m, pad=pad, wp=wp,
+                          inv_area=inv_area, taps=taps),
+        grid=(batch, hp // TILE_H),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],   # padded M (HBM)
+        out_specs=pl.BlockSpec((1, 2, TILE_H, out_w),
+                               lambda b, i: (b, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, 2, hp, out_w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((5, rows, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return kernel, pad, hp, wp, out_w
+
+
+def update_flow_blur_solve_pallas(M, winsize: int, gaussian: bool = False):
+    """Batched fused blur+solve: M (B, 5, H, W) -> flow (B, 2, H, W)."""
+    B, _, H, W = M.shape
+    kernel, pad, hp, wp, out_w = _build(B, H, W, winsize, gaussian)
+    # replicate-pad rows/cols by `pad` (edge semantics == OpenCV's running
+    # sums), plus alignment padding (values never read)
+    Mp = jnp.pad(M, [(0, 0), (0, 0), (pad, pad), (pad, pad)], mode="edge")
+    Mp = jnp.pad(Mp, [(0, 0), (0, 0), (0, hp - H), (0, wp - (W + 2 * pad))])
+    flow = kernel(Mp)
+    return flow[:, :, :H, :W]

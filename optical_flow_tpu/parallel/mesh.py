@@ -60,12 +60,14 @@ def _sharded_flow_fn(mesh: Mesh, h: int, w: int, config: FarnebackConfig):
     in_s = NamedSharding(mesh, P("data", "spatial", None))
     out_s = NamedSharding(mesh, P("data", "spatial", None, None))
 
-    def one(prev, nxt):
+    def fn(prev, nxt):
+        # XLA path (update_fn=default): the Pallas kernel is not yet
+        # shard_map-wrapped, and XLA's SPMD partitioner handles the whole
+        # pyramid (stencil halos become collective-permutes over ICI)
         flow = _flow_pyramid(prev.astype(jnp.float32),
-                             nxt.astype(jnp.float32), plan)
-        return jnp.moveaxis(flow, 0, -1)
+                             nxt.astype(jnp.float32), plan, use_pallas=False)
+        return jnp.moveaxis(flow, 1, -1)
 
-    fn = jax.vmap(one)
     return jax.jit(fn, in_shardings=(in_s, in_s), out_shardings=out_s)
 
 
@@ -82,13 +84,12 @@ def _sharded_extract_fn(mesh: Mesh, h: int, w: int, config: FarnebackConfig):
     in_s = NamedSharding(mesh, P("data", "spatial", None))
     out_s = NamedSharding(mesh, P("data"))
 
-    def one(prev, nxt):
+    def fn(prev, nxt):
         flow = _flow_pyramid(prev.astype(jnp.float32),
-                             nxt.astype(jnp.float32), plan)
-        mag, _ = cart_to_polar(flow[0], flow[1])
-        return jnp.sum(mag)
+                             nxt.astype(jnp.float32), plan, use_pallas=False)
+        mag, _ = cart_to_polar(flow[:, 0], flow[:, 1])
+        return jnp.sum(mag, axis=(-2, -1))
 
-    fn = jax.vmap(one)
     return jax.jit(fn, in_shardings=(in_s, in_s), out_shardings=out_s)
 
 

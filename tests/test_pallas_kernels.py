@@ -1,0 +1,100 @@
+"""Differential tests of the Pallas TPU kernels against the XLA reference
+implementations, run in Pallas interpret mode on CPU (the real-hardware
+path is exercised by bench.py and the TPU deployment)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module", autouse=True)
+def interpret_mode():
+    """Force pallas_call into interpreter mode for CPU execution."""
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    pl.pallas_call = patched
+    import optical_flow_tpu.pallas.update_gather as ug
+    import optical_flow_tpu.pallas.blur_solve as bs
+    ug._build.cache_clear()
+    bs._build.cache_clear()
+    yield
+    pl.pallas_call = orig
+    ug._build.cache_clear()
+    bs._build.cache_clear()
+
+
+class TestUpdateGatherKernel:
+    def _check(self, H, W, flow_mod=None, B=2):
+        from optical_flow_tpu.pallas.update_gather import (
+            update_matrices_pallas_batched)
+        from optical_flow_tpu.models.farneback import core
+        rng = np.random.default_rng(0)
+        R0 = jnp.asarray(rng.standard_normal((B, 5, H, W)).astype(np.float32))
+        R1 = jnp.asarray(rng.standard_normal((B, 5, H, W)).astype(np.float32))
+        flow = rng.standard_normal((B, 2, H, W)).astype(np.float32) * 2
+        if flow_mod is not None:
+            flow_mod(flow)
+        flow = jnp.asarray(flow)
+        out = np.asarray(update_matrices_pallas_batched(R0, R1, flow))
+        ref = np.asarray(core.update_matrices(R0, R1, flow))
+        np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-5)
+
+    def test_smooth_flow_aligned_shape(self):
+        self._check(64, 512)
+
+    def test_unaligned_shape_padding(self):
+        self._check(60, 130)
+
+    def test_out_of_image_displacement_fallback(self):
+        def mod(flow):
+            flow[:, 0, 10:14, 30:60] = 500.0   # leaves the image entirely
+        self._check(64, 512, mod)
+
+    def test_window_violation_correction(self):
+        def mod(flow):
+            flow[:, 1, 30:32, 100:160] = 45.0  # escapes the 32-row window
+        self._check(64, 512, mod)
+
+
+class TestBlurSolveKernel:
+    def _psd_M(self, B, H, W, seed=0):
+        """Realistic positive-semidefinite M (like real update output)."""
+        rng = np.random.default_rng(seed)
+        r4 = rng.standard_normal((B, H, W)).astype(np.float32)
+        r5 = rng.standard_normal((B, H, W)).astype(np.float32)
+        r6 = rng.standard_normal((B, H, W)).astype(np.float32)
+        r2 = rng.standard_normal((B, H, W)).astype(np.float32)
+        r3 = rng.standard_normal((B, H, W)).astype(np.float32)
+        return jnp.asarray(np.stack([
+            r4 * r4 + r6 * r6, (r4 + r5) * r6, r5 * r5 + r6 * r6,
+            r4 * r2 + r6 * r3, r6 * r2 + r5 * r3], axis=1))
+
+    @pytest.mark.parametrize("H,W,ws", [(24, 256, 15), (64, 130, 15),
+                                        (40, 256, 7), (33, 257, 21)])
+    def test_matches_xla_box(self, H, W, ws):
+        from optical_flow_tpu.pallas.blur_solve import (
+            update_flow_blur_solve_pallas)
+        from optical_flow_tpu.models.farneback import core
+        M = self._psd_M(2, H, W)
+        out = np.asarray(update_flow_blur_solve_pallas(M, ws))
+        ref = np.asarray(core.solve_flow(
+            core.box_sum_replicate(M, ws), 1.0 / (ws * ws)))
+        np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-3)
+
+    def test_gaussian_window(self):
+        from optical_flow_tpu.pallas.blur_solve import (
+            update_flow_blur_solve_pallas)
+        from optical_flow_tpu.models.farneback import core
+        M = self._psd_M(1, 32, 256)
+        ws = 15
+        k = core.gaussian_window_kernel(ws)
+        out = np.asarray(update_flow_blur_solve_pallas(M, ws, gaussian=True))
+        ref = np.asarray(core.solve_flow(
+            core._corr1d(core._corr1d(M, k, axis=-1), k, axis=-2), 1.0))
+        np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-3)
