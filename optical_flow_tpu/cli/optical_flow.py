@@ -42,6 +42,16 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--force_run", default="False",
                         help="sets whether the script runs regardless of the "
                              "version of .done-files")
+    # corpus scale-out (new, additive — absent from the reference CLI):
+    parser.add_argument("--worker_index", type=int, default=0,
+                        help="this worker's index for sharded corpus runs")
+    parser.add_argument("--num_workers", type=int, default=1,
+                        help="total workers sharding the corpus "
+                             "(round-robin by videoid; .done files keep "
+                             "reruns idempotent)")
+    parser.add_argument("--robust", action="store_true",
+                        help="skip videos that fail instead of aborting "
+                             "the whole corpus run")
     return parser
 
 
@@ -54,7 +64,13 @@ def main(argv=None) -> None:
         top_percentile=args.top_percentile,
         force_run=args.force_run,
     )
-    run_corpus(args.features_root, args.videoids, config, progress=tqdm)
+    videoids = args.videoids
+    if args.num_workers > 1:
+        from optical_flow_tpu.parallel.corpus import shard_videoids
+        videoids = shard_videoids(videoids, args.worker_index,
+                                  args.num_workers)
+    run_corpus(args.features_root, videoids, config, progress=tqdm,
+               robust=args.robust)
 
 
 if __name__ == "__main__":

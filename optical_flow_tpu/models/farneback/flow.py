@@ -27,7 +27,7 @@ from optical_flow_tpu.models.farneback.params import (
     build_plan,
     gaussian_kernel,
 )
-from optical_flow_tpu.ops.resize import resize_bilinear_f32
+from optical_flow_tpu.ops.resize import resize_area_f32, resize_bilinear_f32
 from optical_flow_tpu.utils.config import FarnebackConfig
 
 
@@ -67,10 +67,13 @@ def _pick_blur_solve_fn(h: int, w: int, winsize: int, gaussian: bool):
     return None
 
 
-def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool):
+def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
+                  initial_flow=None):
     """Run the full coarse-to-fine schedule on (B, H, W) f32 frame batches.
 
-    Returns (B, 2, H, W) flow (channels-first internal layout).
+    initial_flow: optional (B, 2, H, W) seed used at the coarsest level
+    (OPTFLOW_USE_INITIAL_FLOW: OpenCV downsamples flow0 with INTER_AREA
+    and scales it to the level).  Returns (B, 2, H, W) flow.
     """
     cfg = plan.config
     B = prev_f.shape[0]
@@ -87,7 +90,12 @@ def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool):
         R0, R1 = Rb[:B], Rb[B:]
 
         if flow is None:
-            flow = jnp.zeros((B, 2, lv.height, lv.width), jnp.float32)
+            if initial_flow is not None:
+                scale = jnp.float32(cfg.pyr_scale ** lv.k)
+                flow = resize_area_f32(initial_flow, lv.width,
+                                       lv.height) * scale
+            else:
+                flow = jnp.zeros((B, 2, lv.height, lv.width), jnp.float32)
         else:
             flow = resize_bilinear_f32(flow, lv.width, lv.height)
             flow = flow * jnp.float32(1.0 / cfg.pyr_scale)
@@ -118,24 +126,45 @@ def _jitted_batched(h: int, w: int, config: FarnebackConfig):
     return jax.jit(fn)
 
 
-def calc_flow(prev, nxt, config: FarnebackConfig = FarnebackConfig()):
+@functools.lru_cache(maxsize=64)
+def _jitted_batched_seeded(h: int, w: int, config: FarnebackConfig):
+    plan = build_plan(h, w, config)
+    use_pallas = _on_tpu()
+
+    def fn(prev, nxt, flow0):
+        flow = _flow_pyramid(prev.astype(jnp.float32),
+                             nxt.astype(jnp.float32), plan, use_pallas,
+                             initial_flow=jnp.moveaxis(flow0, -1, 1))
+        return jnp.moveaxis(flow, 1, -1)
+
+    return jax.jit(fn)
+
+
+def calc_flow(prev, nxt, config: FarnebackConfig = FarnebackConfig(),
+              initial_flow=None):
     """Dense Farnebäck flow for one frame pair.
 
     prev, nxt: (H, W) uint8/float grayscale.  Returns (H, W, 2) float32.
+    initial_flow: optional (H, W, 2) seed, used when config.flags has
+    OPTFLOW_USE_INITIAL_FLOW (cv2's flow-in/flow-out contract).
     """
     if prev.shape != nxt.shape:
         raise ValueError(f"frame shapes differ: {prev.shape} vs {nxt.shape}")
     if prev.ndim != 2:
         raise ValueError(f"expected (H, W) grayscale, got {prev.shape}")
-    if config.use_initial_flow:
-        raise NotImplementedError(
-            "OPTFLOW_USE_INITIAL_FLOW is not implemented yet; the reference "
-            "always passes flow=None (optical_flow.py:52)")
     h, w = prev.shape
+    if config.use_initial_flow:
+        if initial_flow is None:
+            raise ValueError(
+                "flags include OPTFLOW_USE_INITIAL_FLOW but no initial_flow "
+                "was provided")
+        return _jitted_batched_seeded(h, w, config)(
+            prev[None], nxt[None], initial_flow[None])[0]
     return _jitted_batched(h, w, config)(prev[None], nxt[None])[0]
 
 
-def calc_flow_batched(prev, nxt, config: FarnebackConfig = FarnebackConfig()):
+def calc_flow_batched(prev, nxt, config: FarnebackConfig = FarnebackConfig(),
+                      initial_flow=None):
     """Dense Farnebäck flow for a batch of frame pairs.
 
     prev, nxt: (B, H, W).  Returns (B, H, W, 2) float32.  The whole batch is
@@ -145,7 +174,11 @@ def calc_flow_batched(prev, nxt, config: FarnebackConfig = FarnebackConfig()):
         raise ValueError(f"frame shapes differ: {prev.shape} vs {nxt.shape}")
     if prev.ndim != 3:
         raise ValueError(f"expected (B, H, W), got {prev.shape}")
-    if config.use_initial_flow:
-        raise NotImplementedError("OPTFLOW_USE_INITIAL_FLOW not implemented")
     _, h, w = prev.shape
+    if config.use_initial_flow:
+        if initial_flow is None:
+            raise ValueError(
+                "flags include OPTFLOW_USE_INITIAL_FLOW but no initial_flow "
+                "was provided")
+        return _jitted_batched_seeded(h, w, config)(prev, nxt, initial_flow)
     return _jitted_batched(h, w, config)(prev, nxt)

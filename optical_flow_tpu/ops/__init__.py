@@ -2,6 +2,7 @@ from optical_flow_tpu.ops.color import bgr2gray_u8, hsv2bgr_u8
 from optical_flow_tpu.ops.polar import cart_to_polar, normalize_minmax_u8_value
 from optical_flow_tpu.ops.resize import (
     resize_bilinear_f32,
+    resize_area_f32,
     resize_u8_cv,
     resize_frame_u8,
     aspect_preserving_size,
@@ -14,6 +15,7 @@ __all__ = [
     "cart_to_polar",
     "normalize_minmax_u8_value",
     "resize_bilinear_f32",
+    "resize_area_f32",
     "resize_u8_cv",
     "resize_frame_u8",
     "aspect_preserving_size",

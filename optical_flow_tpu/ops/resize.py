@@ -128,3 +128,51 @@ def resize_frame_u8(frame, frame_width: int):
         sh, sw = frame.shape[-2], frame.shape[-1]
     dw, dh = aspect_preserving_size(sh, sw, frame_width)
     return resize_u8_cv(frame, dw, dh)
+
+
+@functools.lru_cache(maxsize=128)
+def _area_weights(s_len: int, d_len: int):
+    """Dense per-axis INTER_AREA weight matrix (d_len, s_len), numpy f32.
+
+    True area averaging for downscale (each output pixel averages its
+    source footprint with fractional-overlap weights); for upscale cv2
+    falls back to bilinear, and so do we.
+    """
+    if d_len >= s_len:
+        return None
+    scale = s_len / d_len
+    Wm = np.zeros((d_len, s_len), dtype=np.float64)
+    for d in range(d_len):
+        lo = d * scale
+        hi = (d + 1) * scale
+        i0 = int(np.floor(lo))
+        i1 = int(np.ceil(hi))
+        for i in range(i0, min(i1, s_len)):
+            ov = min(hi, i + 1) - max(lo, i)
+            if ov > 0:
+                Wm[d, i] = ov
+    Wm /= scale
+    return Wm.astype(np.float32)
+
+
+def resize_area_f32(src, dw: int, dh: int):
+    """cv2.resize INTER_AREA semantics for float inputs.
+
+    src: (..., H, W) float32.  Used by OPTFLOW_USE_INITIAL_FLOW's initial
+    flow downsample (OpenCV resizes flow0 with INTER_AREA).
+    """
+    sh, sw = src.shape[-2:]
+    if (dw, dh) == (sw, sh):
+        return src
+    out = src
+    wy = _area_weights(sh, dh)
+    wx = _area_weights(sw, dw)
+    if wy is not None:
+        out = jnp.einsum("ij,...jk->...ik", jnp.asarray(wy), out)
+    elif dh != sh:
+        out = resize_bilinear_f32(out, out.shape[-1], dh)
+    if wx is not None:
+        out = jnp.einsum("...jk,lk->...jl", out, jnp.asarray(wx))
+    elif dw != sw:
+        out = resize_bilinear_f32(out, dw, out.shape[-2])
+    return out.astype(jnp.float32)

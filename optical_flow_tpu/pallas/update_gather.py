@@ -37,9 +37,10 @@ from optical_flow_tpu.models.farneback.core import border_scale_field
 
 TILE_H = 8
 TILE_W = 128
-WIN_H = 32          # source-window rows (spread budget per tile)
-WIN_W = 512         # source-window lanes (4 x-tiles)
-VIOL_MAX = 16384    # max out-of-window pixels fixed by the XLA correction
+WIN_H = 32          # source-window rows (spread budget per band)
+V_MAX = 4           # static relative-row candidates per subtile
+T_MAX = 2           # static 128-lane-tile candidates per subtile
+VIOL_MAX = 16384    # max spilled pixels fixed by the XLA correction
 
 
 def _update_kernel(r0_ref, flow_ref, sc_ref, r1_hbm, m_ref, viol_ref,
@@ -79,53 +80,53 @@ def _update_kernel(r0_ref, flow_ref, sc_ref, r1_hbm, m_ref, viol_ref,
     cp.start()
 
     lr = yi - sy                       # local row in window
-    covered = (lr >= 0) & (lr < WIN_H)
-    use_win = inside & covered
-    viol = inside & jnp.logical_not(covered)
-    viol_ref[0, 0] = viol.astype(jnp.float32)
-
-    lr_c = jnp.where(use_win, lr, 0)
-    xt = jnp.where(use_win, xi // TILE_W, 0)
-    lane = jnp.where(use_win, xi % TILE_W, 0)
+    in_window = (lr >= 0) & (lr < WIN_H)
+    use_win0 = inside & in_window
+    xt = jnp.where(use_win0, xi // TILE_W, n_sub - 1)
+    lane = jnp.where(use_win0, xi % TILE_W, 0)
+    # relative displacement: source row = own band row + rel.  Candidates
+    # enumerate rel values (spread ~0..2 for blurred flow), so each
+    # candidate's source rows form one contiguous 8-row DIAGONAL block,
+    # loaded as a 16-row aligned block + dynamic sublane rotate — no
+    # per-row one-hot selection needed.
+    row_in_band = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, Wp), 0)
+    rel = jnp.where(use_win0, lr - row_in_band, WIN_H)
 
     cp.wait()
 
     fetched = []
+    viols = []
     for j in range(n_sub):             # static loop over 128-lane subtiles
         sl = slice(j * TILE_W, (j + 1) * TILE_W)
-        uw = use_win[:, sl]
-        lrj = lr_c[:, sl]
+        uw0 = use_win0[:, sl]
+        relj = rel[:, sl]
         xtj = xt[:, sl]
         lnj = lane[:, sl]
-        s_lo = jnp.min(lrj)
-        s_hi = jnp.max(lrj)
+        # static V_MAX x T_MAX candidate block anchored at the subtile
+        # minima; spill-overs join the violation-correction path
+        v_lo = jnp.min(relj)
         t_lo = jnp.min(xtj)
-        t_hi = jnp.max(xtj)
+        uw = (uw0 & (relj < v_lo + V_MAX) & (xtj < t_lo + T_MAX))
+        viols.append(inside[:, sl] & jnp.logical_not(uw))
 
-        def body_s(s, acc, uw=uw, lrj=lrj, xtj=xtj, lnj=lnj,
-                   t_lo=t_lo, t_hi=t_hi):
-            s8 = pl.multiple_of((s // 8) * 8, 8)
-            rowmask = (jax.lax.broadcasted_iota(jnp.int32, (8, TILE_W), 0)
-                       == (s - s8)).astype(jnp.float32)
-
-            def body_t(t, acc):
-                sel = uw & (lrj == s) & (xtj == t)
+        acc = [jnp.zeros((TILE_H, TILE_W), jnp.float32) for _ in range(5)]
+        for kv in range(V_MAX):        # static unroll: no loop machinery
+            v = v_lo + kv
+            v8 = pl.multiple_of(
+                jnp.clip((v // 8) * 8, 0, WIN_H - 16), 8)
+            sh = v - v8
+            for kt in range(T_MAX):
+                t = jnp.minimum(t_lo + kt, n_sub - 1)
+                sel = uw & (relj == v) & (xtj == t)
                 off = pl.multiple_of(t * TILE_W, TILE_W)
-                new = []
                 for c in range(5):
-                    blk = win[c, pl.ds(s8, 8), pl.ds(off, TILE_W)]
-                    row = jnp.sum(blk * rowmask, axis=0)
-                    rowb = jnp.broadcast_to(row[None, :], (TILE_H, TILE_W))
-                    vals = jnp.take_along_axis(rowb, lnj, axis=1)
-                    new.append(jnp.where(sel, vals, acc[c]))
-                return jnp.stack(new)
-
-            return jax.lax.fori_loop(t_lo, t_hi + 1, body_t, acc)
-
-        fetched.append(jax.lax.fori_loop(
-            s_lo, s_hi + 1, body_s,
-            jnp.zeros((5, TILE_H, TILE_W), jnp.float32)))
+                    blk16 = win[c, pl.ds(v8, 16), pl.ds(off, TILE_W)]
+                    diag = pltpu.roll(blk16, -sh, 0)[:TILE_H]
+                    vals = jnp.take_along_axis(diag, lnj, axis=1)
+                    acc[c] = jnp.where(sel, vals, acc[c])
+        fetched.append(jnp.stack(acc))
     fetched = jnp.concatenate(fetched, axis=-1)     # (5, TILE_H, W)
+    viol_ref[0, 0] = jnp.concatenate(viols, axis=-1).astype(jnp.float32)
 
     r0 = r0_ref[0]
     f0 = fetched[0]
@@ -269,13 +270,23 @@ def update_matrices_pallas_batched(R0, R1, flow):
     M = Mp[:, :, :H, :W]
     viol = violp[:, 0, :H, :W] > 0.5
 
-    n_viol = jnp.sum(viol)
-    M = jax.lax.cond(
-        n_viol > 0,
-        lambda m: jax.vmap(_correct_violations)(
+    # three-tier exactness: fast path only (no spills); bounded
+    # gather+scatter correction (<= VIOL_MAX spilled pixels per frame);
+    # full XLA recompute (pathological flow fields, e.g. dense noise)
+    n_viol_per = jnp.sum(viol, axis=(-2, -1))
+    n_viol = jnp.sum(n_viol_per)
+
+    def corrected(m):
+        return jax.vmap(_correct_violations)(
             m, viol, R0, R1, flow,
-            jnp.broadcast_to(sc, (B,) + sc.shape)),
-        lambda m: m,
+            jnp.broadcast_to(sc, (B,) + sc.shape))
+
+    from optical_flow_tpu.models.farneback import core as _core
+
+    M = jax.lax.cond(
+        jnp.max(n_viol_per) > VIOL_MAX,
+        lambda m: _core.update_matrices(R0, R1, flow),
+        lambda m: jax.lax.cond(n_viol > 0, corrected, lambda x: x, m),
         M)
     return M
 

@@ -39,6 +39,7 @@ from optical_flow_tpu.ops import bgr2gray_u8, resize_frame_u8
 from optical_flow_tpu.ops.polar import cart_to_polar
 from optical_flow_tpu.utils.config import ExtractorConfig, EXTRACTOR
 from optical_flow_tpu.utils.logging import get_logger
+from optical_flow_tpu.utils.metrics import PipelineMetrics
 
 logger = get_logger("optical_flow_tpu.extractor")
 
@@ -76,6 +77,7 @@ def extract_video(v_path: str, config: ExtractorConfig
 
     Mirrors `get_optical_flow` (`optical_flow.py:69-117`).
     """
+    metrics = PipelineMetrics("extract")
     vid = VideoReader(v_path)
     if not vid.is_opened():
         raise IOError(f"Unable to read from video: '{v_path}'")
@@ -91,12 +93,14 @@ def extract_video(v_path: str, config: ExtractorConfig
     needed = sorted({i for w in windows for i in w})
     frames = {}
     failed_at = None
-    for idx in needed:
-        ret, frame = vid.read_at(idx)
-        if not ret:
-            failed_at = idx
-            break
-        frames[idx] = frame
+    with metrics.stage("decode"):
+        for idx in needed:
+            ret, frame = vid.read_at(idx)
+            if not ret:
+                failed_at = idx
+                break
+            frames[idx] = frame
+            metrics.add("frames_decoded")
     vid.release()
 
     ok_windows = []
@@ -121,9 +125,12 @@ def extract_video(v_path: str, config: ExtractorConfig
     mags: List[Tuple[int, int, float]] = []
     for c0 in range(0, len(ok_windows), PAIR_CHUNK):
         chunk = ok_windows[c0:c0 + PAIR_CHUNK]
-        prev = prep([w[0] for w in chunk])
-        nxt = prep([w[1] for w in chunk])
-        sums = _magnitude_sums(prev, nxt, config)
+        with metrics.stage("preprocess"):
+            prev = prep([w[0] for w in chunk])
+            nxt = prep([w[1] for w in chunk])
+        with metrics.stage("flow"):
+            sums = _magnitude_sums(prev, nxt, config)
+        metrics.add("frame_pairs", len(chunk))
         for (start, end), s in zip(chunk, sums):
             mags.append((start, end, float(s)))
 
@@ -138,6 +145,7 @@ def extract_video(v_path: str, config: ExtractorConfig
 
     start_ms = int(agg[0][0] / fps * 1000)
     end_ms = int(agg[-1][0] / fps * 1000)
+    metrics.log_summary()
     return [a[1] for a in agg], [start_ms, end_ms]
 
 
@@ -150,10 +158,19 @@ def scale_magnitudes(mag: Sequence[float], top_percentile: int):
 
 
 def run_corpus(features_root: str, videoids: Sequence[str],
-               config: ExtractorConfig, progress=None) -> None:
-    """Corpus driver (`optical_flow.py:135-168`): paths, .done gating, CSV."""
+               config: ExtractorConfig, progress=None,
+               robust: bool = False) -> list:
+    """Corpus driver (`optical_flow.py:135-168`): paths, .done gating, CSV.
+
+    robust=True turns per-video failures into logged skips instead of
+    aborting the whole corpus run — required for sharded/elastic corpus
+    jobs (SURVEY.md section 5, failure detection); the default matches
+    the reference (first failure raises).  Returns the list of failed
+    videoids (empty unless robust).
+    """
     logger.info("Computing optical flow for {0} videos".format(len(videoids)))
     iterator = progress(videoids) if progress else videoids
+    failures = []
     for videoid in iterator:
         features_dir = os.path.join(features_root, videoid, EXTRACTOR)
         v_path = os.path.join(features_root, videoid, "media",
@@ -164,9 +181,18 @@ def run_corpus(features_root: str, videoids: Sequence[str],
         sentinel = DoneSentinel(features_dir, config.done_version)
 
         if not sentinel.is_done() or config.force_run == "True":
-            aggregated, timestamps = extract_video(v_path, config)
-            scaled = scale_magnitudes(aggregated, config.top_percentile)
-            write_mag_to_csv(f_path_csv, scaled, timestamps)
-            sentinel.mark_done()
+            try:
+                aggregated, timestamps = extract_video(v_path, config)
+                scaled = scale_magnitudes(aggregated, config.top_percentile)
+                write_mag_to_csv(f_path_csv, scaled, timestamps)
+                sentinel.mark_done()
+            except Exception as e:
+                if not robust:
+                    raise
+                failures.append(videoid)
+                logger.warning(
+                    "skipping %s after failure: %s: %s",
+                    videoid, type(e).__name__, e)
         else:
             logger.info("optical flow was already done")
+    return failures

@@ -15,7 +15,8 @@ import pytest
 from optical_flow_tpu.models.farneback import calc_flow, calc_flow_batched
 from optical_flow_tpu.models.farneback.params import effective_levels
 from optical_flow_tpu.oracle import smooth_texture_pair, quadratic_pair
-from optical_flow_tpu.utils.config import FarnebackConfig, OPTFLOW_FARNEBACK_GAUSSIAN
+from optical_flow_tpu.utils.config import (
+    FarnebackConfig, OPTFLOW_FARNEBACK_GAUSSIAN, OPTFLOW_USE_INITIAL_FLOW)
 
 DEFAULTS = FarnebackConfig()
 
@@ -125,6 +126,32 @@ class TestFullDefaults:
 
 
 class TestVariants:
+    def test_use_initial_flow(self):
+        rng = np.random.default_rng(0)
+        f1, f2 = smooth_texture_pair(60, 60, (1, 2))
+        seed = (rng.standard_normal((60, 60, 2)) * 0.5).astype(np.float32)
+        cfg = FarnebackConfig(flags=OPTFLOW_USE_INITIAL_FLOW, iterations=2)
+        ref = cv2.calcOpticalFlowFarneback(
+            f1, f2, seed.copy(), cfg.pyr_scale, cfg.levels, cfg.winsize,
+            cfg.iterations, cfg.poly_n, cfg.poly_sigma, cfg.flags)
+        ours = calc_flow(f1, f2, cfg, initial_flow=seed)
+        e = epe(ours, ref)
+        assert e.mean() < 0.3, f"USE_INITIAL_FLOW mean EPE {e.mean()}"
+
+    def test_use_initial_flow_requires_seed(self):
+        f1, f2 = smooth_texture_pair(60, 60, (1, 2))
+        with pytest.raises(ValueError):
+            calc_flow(f1, f2, FarnebackConfig(flags=OPTFLOW_USE_INITIAL_FLOW))
+
+    def test_inter_area_resize_matches_cv2(self):
+        rng = np.random.default_rng(1)
+        from optical_flow_tpu.ops import resize_area_f32
+        x = (rng.standard_normal((107, 193)) * 10).astype(np.float32)
+        for dsize in [(97, 54), (48, 27), (20, 11)]:
+            ref = cv2.resize(x, dsize, interpolation=cv2.INTER_AREA)
+            ours = np.asarray(resize_area_f32(x, *dsize))
+            np.testing.assert_allclose(ours, ref, atol=1e-5)
+
     def test_gaussian_window_flag(self):
         f1, f2 = smooth_texture_pair(80, 80, (1, 1))
         cfg = FarnebackConfig(flags=OPTFLOW_FARNEBACK_GAUSSIAN)
