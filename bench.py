@@ -19,7 +19,7 @@ import numpy as np
 HERE = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(HERE, "BASELINE_MEASURED.json")
 
-B = 8              # pairs per dispatch
+B = 16             # pairs per dispatch
 H, W = 1080, 1920
 WARMUP = 2
 ITERS = 10

@@ -34,19 +34,34 @@ def _ceil(a: int, m: int) -> int:
 
 
 def _kernel(mp_hbm, flow_ref, win, sem, *, m: int, pad: int, wp: int,
-            inv_area: float, taps):
-    b = pl.program_id(0)
-    i = pl.program_id(1)
+            n_bands: int, inv_area: float, taps):
+    gi = pl.program_id(0)
+    n_total = pl.num_programs(0)
     rows = 2 * pad + TILE_H
 
-    cp = pltpu.make_async_copy(
-        mp_hbm.at[b, :, pl.ds(i * TILE_H, rows), :], win, sem)
-    cp.start()
-    cp.wait()
+    def dma(slot, step):
+        b = step // n_bands
+        i = step % n_bands
+        return pltpu.make_async_copy(
+            mp_hbm.at[b, :, pl.ds(i * TILE_H, rows), :], win.at[slot],
+            sem.at[slot])
+
+    slot = jax.lax.rem(gi, 2)
+    nslot = jax.lax.rem(gi + 1, 2)
+
+    @pl.when(gi == 0)
+    def _():
+        dma(slot, gi).start()
+
+    @pl.when(gi + 1 < n_total)
+    def _():
+        dma(nslot, gi + 1).start()
+
+    dma(slot, gi).wait()
 
     outs = []
     for c in range(5):
-        wc = win[c]                                    # (rows, wp)
+        wc = win[slot, c]                              # (rows, wp)
         # vertical: sum taps j=0..2m at row offset pad - m + j
         v = None
         for j in range(2 * m + 1):
@@ -67,6 +82,12 @@ def _kernel(mp_hbm, flow_ref, win, sem, *, m: int, pad: int, wp: int,
     flow_ref[0, 1] = (g22 * h1 - g12 * h2) * idet
 
 
+def _omap(n_bands):
+    def omap(gi):
+        return (gi // n_bands, 0, gi % n_bands, 0)
+    return omap
+
+
 @functools.lru_cache(maxsize=64)
 def _build(batch: int, h: int, w: int, winsize: int, gaussian: bool):
     m = winsize // 2
@@ -83,18 +104,18 @@ def _build(batch: int, h: int, w: int, winsize: int, gaussian: bool):
         taps = None
         inv_area = 1.0 / (winsize * winsize)
 
+    n_bands = hp // TILE_H
     kernel = pl.pallas_call(
-        functools.partial(_kernel, m=m, pad=pad, wp=wp,
+        functools.partial(_kernel, m=m, pad=pad, wp=wp, n_bands=n_bands,
                           inv_area=inv_area, taps=taps),
-        grid=(batch, hp // TILE_H),
+        grid=(batch * n_bands,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],   # padded M (HBM)
-        out_specs=pl.BlockSpec((1, 2, TILE_H, out_w),
-                               lambda b, i: (b, 0, i, 0),
+        out_specs=pl.BlockSpec((1, 2, TILE_H, out_w), _omap(n_bands),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((batch, 2, hp, out_w), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((5, rows, wp), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 5, rows, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return kernel, pad, hp, wp, out_w

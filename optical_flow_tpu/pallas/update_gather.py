@@ -43,19 +43,39 @@ T_MAX = 2           # static 128-lane-tile candidates per subtile
 VIOL_MAX = 16384    # max spilled pixels fixed by the XLA correction
 
 
-def _update_kernel(r0_ref, flow_ref, sc_ref, r1_hbm, m_ref, viol_ref,
-                   win, sem, *, h_real: int, w_real: int):
-    """Grid: (B, H/TILE_H) row bands.  Each step processes an (TILE_H, W)
+def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
+                   m_ref, viol_ref, win, sem, *, h_real: int, w_real: int,
+                   n_bands: int):
+    """Grid: (B * H/TILE_H,) row bands.  Each step processes an (TILE_H, W)
     band of one batch element: one dynamic-window DMA (5, WIN_H, W)
-    anchored at the band's minimum fetched row, then per 128-lane subtile
-    a doubly-dynamic candidate loop resolves the fetch with the native
-    lane shuffle."""
-    b = pl.program_id(0)
-    i = pl.program_id(1)
+    anchored at the band's minimum fetched row (precomputed at XLA level
+    and scalar-prefetched so windows double-buffer across bands), then per
+    128-lane subtile a static candidate block resolves the fetch with the
+    native lane shuffle + sublane rotate."""
+    gi = pl.program_id(0)
+    n_total = pl.num_programs(0)
+    i = gi % n_bands
     Hp = r1_hbm.shape[2]
     n_sub = r1_hbm.shape[3] // TILE_W
     H = h_real            # clip/inside logic uses REAL image bounds
     W = w_real
+
+    def dma(slot, step):
+        return pltpu.make_async_copy(
+            r1_hbm.at[step // n_bands, :,
+                      pl.ds(pl.multiple_of(anchors_ref[step], 8), WIN_H), :],
+            win.at[slot], sem.at[slot])
+
+    slot = jax.lax.rem(gi, 2)
+    nslot = jax.lax.rem(gi + 1, 2)
+
+    @pl.when(gi == 0)
+    def _():
+        dma(slot, gi).start()
+
+    @pl.when(gi + 1 < n_total)
+    def _():
+        dma(nslot, gi + 1).start()
 
     dx = flow_ref[0, 0]
     dy = flow_ref[0, 1]
@@ -71,13 +91,7 @@ def _update_kernel(r0_ref, flow_ref, sc_ref, r1_hbm, m_ref, viol_ref,
     xi = jnp.clip(x1, 0, W - 1).astype(jnp.int32)
     yi = jnp.clip(y1, 0, H - 1).astype(jnp.int32)
 
-    # band window anchor (HBM slices must respect the (8, 128) tiling);
-    # anchored within the PADDED array but covering real rows
-    sy = pl.multiple_of(
-        jnp.clip((jnp.min(yi) // 8) * 8, 0, Hp - WIN_H), 8)
-    cp = pltpu.make_async_copy(
-        r1_hbm.at[b, :, pl.ds(sy, WIN_H), :], win, sem)
-    cp.start()
+    sy = anchors_ref[gi]
 
     lr = yi - sy                       # local row in window
     in_window = (lr >= 0) & (lr < WIN_H)
@@ -92,7 +106,7 @@ def _update_kernel(r0_ref, flow_ref, sc_ref, r1_hbm, m_ref, viol_ref,
     row_in_band = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, Wp), 0)
     rel = jnp.where(use_win0, lr - row_in_band, WIN_H)
 
-    cp.wait()
+    dma(slot, gi).wait()
 
     fetched = []
     viols = []
@@ -120,7 +134,7 @@ def _update_kernel(r0_ref, flow_ref, sc_ref, r1_hbm, m_ref, viol_ref,
                 sel = uw & (relj == v) & (xtj == t)
                 off = pl.multiple_of(t * TILE_W, TILE_W)
                 for c in range(5):
-                    blk16 = win[c, pl.ds(v8, 16), pl.ds(off, TILE_W)]
+                    blk16 = win[slot, c, pl.ds(v8, 16), pl.ds(off, TILE_W)]
                     diag = pltpu.roll(blk16, -sh, 0)[:TILE_H]
                     vals = jnp.take_along_axis(diag, lnj, axis=1)
                     acc[c] = jnp.where(sel, vals, acc[c])
@@ -153,32 +167,44 @@ def _update_kernel(r0_ref, flow_ref, sc_ref, r1_hbm, m_ref, viol_ref,
 
 @functools.lru_cache(maxsize=64)
 def _build(batch: int, h: int, w: int, h_real: int, w_real: int):
-    grid = (batch, h // TILE_H)
-    kernel = pl.pallas_call(
-        functools.partial(_update_kernel, h_real=h_real, w_real=w_real),
-        grid=grid,
+    n_bands = h // TILE_H
+
+    def bmap(gi, _anchors):
+        return (gi // n_bands, 0, gi % n_bands, 0)
+
+    def scmap(gi, _anchors):
+        return (gi % n_bands, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(batch * n_bands,),
         in_specs=[
-            pl.BlockSpec((1, 5, TILE_H, w), lambda b, i: (b, 0, i, 0),
+            pl.BlockSpec((1, 5, TILE_H, w), bmap,
                          memory_space=pltpu.VMEM),          # R0 band
-            pl.BlockSpec((1, 2, TILE_H, w), lambda b, i: (b, 0, i, 0),
+            pl.BlockSpec((1, 2, TILE_H, w), bmap,
                          memory_space=pltpu.VMEM),          # flow band
-            pl.BlockSpec((TILE_H, w), lambda b, i: (i, 0),
+            pl.BlockSpec((TILE_H, w), scmap,
                          memory_space=pltpu.VMEM),          # border scale
             pl.BlockSpec(memory_space=pltpu.ANY),           # R1 full (HBM)
         ],
         out_specs=[
-            pl.BlockSpec((1, 5, TILE_H, w), lambda b, i: (b, 0, i, 0),
+            pl.BlockSpec((1, 5, TILE_H, w), bmap,
                          memory_space=pltpu.VMEM),          # M band
-            pl.BlockSpec((1, 1, TILE_H, w), lambda b, i: (b, 0, i, 0),
+            pl.BlockSpec((1, 1, TILE_H, w), bmap,
                          memory_space=pltpu.VMEM),          # violation mask
         ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 5, WIN_H, w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = pl.pallas_call(
+        functools.partial(_update_kernel, h_real=h_real, w_real=w_real,
+                          n_bands=n_bands),
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((batch, 5, h, w), jnp.float32),
             jax.ShapeDtypeStruct((batch, 1, h, w), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((5, WIN_H, w), jnp.float32),
-            pltpu.SemaphoreType.DMA,
         ],
     )
     return kernel
@@ -266,7 +292,14 @@ def update_matrices_pallas_batched(R0, R1, flow):
         R0p, R1p, flowp = R0, R1, flow
     sc = jnp.asarray(border_scale_field(H, W))
     scp = jnp.pad(sc, [(0, Hp - H), (0, Wp - W)])
-    Mp, violp = _build(B, Hp, Wp, H, W)(R0p, flowp, scp, R1p)
+    # per-band window anchors, precomputed so the kernel can prefetch
+    n_bands = Hp // TILE_H
+    ys_all = jnp.arange(Hp, dtype=jnp.float32)[None, :, None]
+    yi_all = jnp.clip(jnp.round(ys_all + flowp[:, 1]), 0, H - 1)
+    ymin = jnp.min(yi_all.reshape(B, n_bands, TILE_H, Wp), axis=(2, 3))
+    anchors = jnp.clip((ymin.astype(jnp.int32) // 8) * 8, 0, Hp - WIN_H)
+    anchors = anchors.reshape(B * n_bands)
+    Mp, violp = _build(B, Hp, Wp, H, W)(anchors, R0p, flowp, scp, R1p)
     M = Mp[:, :, :H, :W]
     viol = violp[:, 0, :H, :W] > 0.5
 

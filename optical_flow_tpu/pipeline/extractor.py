@@ -34,6 +34,7 @@ import numpy as np
 
 from optical_flow_tpu.io.sidecar import DoneSentinel, write_mag_to_csv
 from optical_flow_tpu.io.video import VideoReader
+from optical_flow_tpu.pipeline.prefetch import DecodePrefetcher, pair_chunk_for
 from optical_flow_tpu.models.farneback import calc_flow_batched
 from optical_flow_tpu.ops import bgr2gray_u8, resize_frame_u8
 from optical_flow_tpu.ops.polar import cart_to_polar
@@ -43,8 +44,6 @@ from optical_flow_tpu.utils.metrics import PipelineMetrics
 
 logger = get_logger("optical_flow_tpu.extractor")
 
-# frame pairs per device dispatch (keeps HBM bounded at large resolutions)
-PAIR_CHUNK = 32
 
 
 def _window_schedule(tot_frames: int, fps: float, step_ms: int, window_ms: int):
@@ -87,52 +86,61 @@ def extract_video(v_path: str, config: ExtractorConfig
     windows, step = _window_schedule(tot_frames, fps, config.step_size,
                                      config.window_size)
 
-    # decode each needed frame once, in ascending order; stop at first
-    # failure (reference early-break semantics: a window is included iff
-    # both its frames decode AND no earlier window failed)
+    # streamed decode (background thread, decode-ahead) of each needed
+    # frame exactly once, ascending; stop at first failure (reference
+    # early-break semantics: a window is included iff both its frames
+    # decode AND no earlier window failed)
+    vid.release()
     needed = sorted({i for w in windows for i in w})
+    prefetch = DecodePrefetcher(v_path, needed)
+
+    def prep_one(frame):
+        # resize (cv2 u8 fixed point) + gray on device; async dispatch so
+        # decode of the next frame overlaps
+        g = bgr2gray_u8(resize_frame_u8(jnp.asarray(frame),
+                                        config.frame_width)
+                        if config.frame_width else jnp.asarray(frame))
+        return g
+
     frames = {}
     failed_at = None
-    with metrics.stage("decode"):
-        for idx in needed:
-            ret, frame = vid.read_at(idx)
-            if not ret:
-                failed_at = idx
-                break
-            frames[idx] = frame
-            metrics.add("frames_decoded")
-    vid.release()
-
-    ok_windows = []
-    for start, end in windows:
-        if failed_at is not None and (start >= failed_at or end >= failed_at):
-            break
-        ok_windows.append((start, end))
-    if not ok_windows:
-        raise Exception(
-            "Unable to extract the optical flow, no frames where found.")
-
-    # preprocess on device: resize (cv2 u8 fixed point) + gray, batched
-    def prep(idx_list):
-        batch = np.stack([frames[i] for i in idx_list])
-        out = []
-        for f in batch:   # static per-shape; same video => same shape
-            g = bgr2gray_u8(resize_frame_u8(jnp.asarray(f), config.frame_width)
-                            if config.frame_width else jnp.asarray(f))
-            out.append(np.asarray(g))
-        return np.stack(out)
-
+    win_iter = iter(windows)
+    pending = next(win_iter, None)
+    chunk: List[Tuple[int, int]] = []
     mags: List[Tuple[int, int, float]] = []
-    for c0 in range(0, len(ok_windows), PAIR_CHUNK):
-        chunk = ok_windows[c0:c0 + PAIR_CHUNK]
-        with metrics.stage("preprocess"):
-            prev = prep([w[0] for w in chunk])
-            nxt = prep([w[1] for w in chunk])
+    chunk_size = pair_chunk_for(vid.height or 1080, vid.width or 1920)
+
+    def flush(chunk):
         with metrics.stage("flow"):
+            prev = jnp.stack([frames[w[0]] for w in chunk])
+            nxt = jnp.stack([frames[w[1]] for w in chunk])
             sums = _magnitude_sums(prev, nxt, config)
         metrics.add("frame_pairs", len(chunk))
         for (start, end), s in zip(chunk, sums):
             mags.append((start, end, float(s)))
+
+    with metrics.stage("stream"):
+        for pos, frame in prefetch:
+            if frame is None:
+                failed_at = pos
+                break
+            frames[pos] = prep_one(frame)
+            metrics.add("frames_decoded")
+            while pending is not None and pending[0] in frames \
+                    and pending[1] in frames:
+                chunk.append(pending)
+                pending = next(win_iter, None)
+                if len(chunk) >= chunk_size:
+                    flush(chunk)
+                    chunk = []
+        # windows not fully decoded before a failure are dropped, exactly
+        # like the reference's early break
+        if chunk:
+            flush(chunk)
+
+    if not mags:
+        raise Exception(
+            "Unable to extract the optical flow, no frames where found.")
 
     # aggregation (`optical_flow.py:106-112`)
     agg: List[Tuple[int, float]] = []

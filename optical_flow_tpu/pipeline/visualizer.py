@@ -15,9 +15,10 @@ Behavioral contract:
   * hue = angle with the uint8 double-wrap quirk, value = per-frame
     min-max-normalized magnitude, saturation 255 (`:51-54`, SURVEY.md 2c).
 
-TPU-first difference: sampled frames are decoded once, grayscale conversion
-and the Farnebäck pyramid + colorization run batched on device; JPEG encode
-is host-side (native libjpeg), overlapping the next batch's compute.
+TPU-first difference: sampled frames stream through a decode-ahead thread,
+grayscale conversion and the Farnebäck pyramid + colorization run batched
+on device (async dispatch overlaps the next frames' decode); JPEG encode
+is host-side (native libjpeg).
 """
 
 from __future__ import annotations
@@ -32,9 +33,9 @@ from optical_flow_tpu.io.jpeg import write_jpeg_bgr
 from optical_flow_tpu.io.video import VideoReader
 from optical_flow_tpu.models.farneback import calc_flow_batched
 from optical_flow_tpu.ops import bgr2gray_u8, flow_to_bgr_u8
+from optical_flow_tpu.pipeline.prefetch import DecodePrefetcher, pair_chunk_for
 from optical_flow_tpu.utils.config import VisualizerConfig
-
-PAIR_CHUNK = 8   # full-res pairs per device dispatch
+from optical_flow_tpu.utils.metrics import PipelineMetrics
 
 
 def visualize_shot(v_path: str, images_path: str, start_ms: int, end_ms: int,
@@ -54,40 +55,63 @@ def visualize_shot(v_path: str, images_path: str, start_ms: int, end_ms: int,
             f"step_size={config.step_size}ms is shorter than one frame at "
             f"fps={fps}")
 
-    # sample the shot (host decode, sequential-friendly seeks)
-    stamps = []
-    frames = []
+    metrics = PipelineMetrics("visualize")
+    # sample positions exactly like the reference's while loop
+    positions = []
     ts = start_frame
     while ts < end_frame:
-        ret, frame = vid.read_at(ts)
-        if not ret:
-            break
-        stamps.append(ts)
-        frames.append(frame)
+        positions.append(ts)
         ts += step
+    h, w = vid.height, vid.width
     vid.release()
-
-    if len(frames) < 2:
+    if len(positions) < 2:
         return 0
 
-    bgr = np.stack(frames)                       # (N, H, W, 3)
-    gray = np.asarray(_gray_batch(jnp.asarray(bgr)))
+    prefetch = DecodePrefetcher(v_path, positions)
+    chunk_size = pair_chunk_for(h or 1080, w or 1920)
+
+    stamps = []
+    gray = []           # device gray frames (freed once consumed)
     written = 0
-    for c0 in range(1, len(frames), PAIR_CHUNK):
-        idx = list(range(c0, min(c0 + PAIR_CHUNK, len(frames))))
-        prev = jnp.asarray(gray[[i - 1 for i in idx]])
-        nxt = jnp.asarray(gray[idx])
-        flow = calc_flow_batched(prev, nxt, config.farneback)
-        flow_bgr = np.asarray(flow_to_bgr_u8(flow))
-        for j, i in enumerate(idx):
-            ms = int(stamps[i] / fps * 1000)
-            write_jpeg_bgr(os.path.join(images_path, f"flow_{ms}.jpeg"),
-                           flow_bgr[j], config.jpeg_quality)
-            write_jpeg_bgr(os.path.join(images_path, f"source_{ms}.jpeg"),
-                           bgr[i], config.jpeg_quality)
-            written += 1
+    pend = []           # pair indices awaiting dispatch
+
+    def flush(pend):
+        nonlocal written
+        with metrics.stage("flow"):
+            prev = jnp.stack([gray[i - 1] for i in pend])
+            nxt = jnp.stack([gray[i] for i in pend])
+            flow = calc_flow_batched(prev, nxt, config.farneback)
+            flow_bgr = np.asarray(flow_to_bgr_u8(flow))
+        metrics.add("frame_pairs", len(pend))
+        with metrics.stage("encode"):
+            for j, i in enumerate(pend):
+                ms = int(stamps[i] / fps * 1000)
+                write_jpeg_bgr(
+                    os.path.join(images_path, f"flow_{ms}.jpeg"),
+                    flow_bgr[j], config.jpeg_quality)
+                written += 1
+            for i in pend:
+                gray[i - 1] = None     # frame pairs are consecutive; i-1 done
+
+    with metrics.stage("stream"):
+        for pos, frame in prefetch:
+            if frame is None:
+                break
+            stamps.append(pos)
+            i = len(gray)
+            gray.append(bgr2gray_u8(jnp.asarray(frame)))   # async device op
+            if i >= 1:
+                # source image written on arrival (bounded host memory at 4K)
+                ms = int(pos / fps * 1000)
+                with metrics.stage("encode"):
+                    write_jpeg_bgr(
+                        os.path.join(images_path, f"source_{ms}.jpeg"),
+                        frame, config.jpeg_quality)
+                pend.append(i)
+                if len(pend) >= chunk_size:
+                    flush(pend)
+                    pend = []
+        if pend:
+            flush(pend)
+    metrics.log_summary()
     return written
-
-
-def _gray_batch(bgr):
-    return bgr2gray_u8(bgr)
