@@ -59,27 +59,32 @@ def _kernel(mp_hbm, flow_ref, win, sem, *, m: int, pad: int, wp: int,
 
     dma(slot, gi).wait()
 
-    outs = []
-    for c in range(5):
-        wc = win[slot, c]                              # (rows, wp)
-        # vertical: sum taps j=0..2m at row offset pad - m + j
-        v = None
-        for j in range(2 * m + 1):
-            t = wc[pad - m + j: pad - m + j + TILE_H, :]
-            t = t if taps is None else t * jnp.float32(taps[j])
-            v = t if v is None else v + t
-        # horizontal: output lane x corresponds to padded col x + pad
-        hsum = None
-        for k in range(2 * m + 1):
-            t = v[:, pad - m + k: pad - m + k + (wp - 2 * pad)]
-            t = t if taps is None else t * jnp.float32(taps[k])
-            hsum = t if hsum is None else hsum + t
-        outs.append(hsum * jnp.float32(inv_area))
+    # chunk the width so body temporaries stay within VMEM at 4K+
+    out_w = wp - 2 * pad
+    XCHUNK = min(out_w, 1024)
+    for x0 in range(0, out_w, XCHUNK):
+        cw = min(XCHUNK, out_w - x0)
+        outs = []
+        for c in range(5):
+            wc = win[slot, c, :, x0: x0 + cw + 2 * pad]   # (rows, cw+2pad)
+            # vertical: sum taps j=0..2m at row offset pad - m + j
+            v = None
+            for j in range(2 * m + 1):
+                t = wc[pad - m + j: pad - m + j + TILE_H, :]
+                t = t if taps is None else t * jnp.float32(taps[j])
+                v = t if v is None else v + t
+            # horizontal: output lane x corresponds to padded col x + pad
+            hsum = None
+            for k in range(2 * m + 1):
+                t = v[:, pad - m + k: pad - m + k + cw]
+                t = t if taps is None else t * jnp.float32(taps[k])
+                hsum = t if hsum is None else hsum + t
+            outs.append(hsum * jnp.float32(inv_area))
 
-    g11, g12, g22, h1, h2 = outs
-    idet = 1.0 / (g11 * g22 - g12 * g12 + jnp.float32(1e-3))
-    flow_ref[0, 0] = (g11 * h2 - g12 * h1) * idet
-    flow_ref[0, 1] = (g22 * h1 - g12 * h2) * idet
+        g11, g12, g22, h1, h2 = outs
+        idet = 1.0 / (g11 * g22 - g12 * g12 + jnp.float32(1e-3))
+        flow_ref[0, 0, :, x0: x0 + cw] = (g11 * h2 - g12 * h1) * idet
+        flow_ref[0, 1, :, x0: x0 + cw] = (g22 * h1 - g12 * h2) * idet
 
 
 def _omap(n_bands):

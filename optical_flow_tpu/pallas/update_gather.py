@@ -45,7 +45,7 @@ VIOL_MAX = 16384    # max spilled pixels fixed by the XLA correction
 
 def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
                    m_ref, viol_ref, win, sem, *, h_real: int, w_real: int,
-                   n_bands: int):
+                   n_bands: int, n_slots: int):
     """Grid: (B * H/TILE_H,) row bands.  Each step processes an (TILE_H, W)
     band of one batch element: one dynamic-window DMA (5, WIN_H, W)
     anchored at the band's minimum fetched row (precomputed at XLA level
@@ -66,16 +66,20 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
                       pl.ds(pl.multiple_of(anchors_ref[step], 8), WIN_H), :],
             win.at[slot], sem.at[slot])
 
-    slot = jax.lax.rem(gi, 2)
-    nslot = jax.lax.rem(gi + 1, 2)
+    slot = jax.lax.rem(gi, n_slots)
+    nslot = jax.lax.rem(gi + 1, n_slots)
 
     @pl.when(gi == 0)
     def _():
         dma(slot, gi).start()
 
-    @pl.when(gi + 1 < n_total)
+    @pl.when((n_slots > 1) & (gi + 1 < n_total))
     def _():
         dma(nslot, gi + 1).start()
+
+    @pl.when((n_slots == 1) & (gi > 0))
+    def _():
+        dma(slot, gi).start()
 
     dx = flow_ref[0, 0]
     dy = flow_ref[0, 1]
@@ -175,6 +179,7 @@ def _build(batch: int, h: int, w: int, h_real: int, w_real: int):
     def scmap(gi, _anchors):
         return (gi % n_bands, 0)
 
+    n_slots = 2 if w <= 2048 else 1     # VMEM budget at 4K widths
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(batch * n_bands,),
@@ -194,13 +199,13 @@ def _build(batch: int, h: int, w: int, h_real: int, w_real: int):
                          memory_space=pltpu.VMEM),          # violation mask
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 5, WIN_H, w), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((n_slots, 5, WIN_H, w), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_slots,)),
         ],
     )
     kernel = pl.pallas_call(
         functools.partial(_update_kernel, h_real=h_real, w_real=w_real,
-                          n_bands=n_bands),
+                          n_bands=n_bands, n_slots=n_slots),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((batch, 5, h, w), jnp.float32),

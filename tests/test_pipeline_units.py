@@ -1,0 +1,83 @@
+"""Unit tests for pipeline building blocks: prefetcher, chunk sizing,
+robust corpus mode, metrics."""
+
+import os
+
+import numpy as np
+import pytest
+
+from optical_flow_tpu.oracle.synthetic import write_synthetic_video
+from optical_flow_tpu.pipeline.prefetch import DecodePrefetcher, pair_chunk_for
+from optical_flow_tpu.utils.config import ExtractorConfig
+from optical_flow_tpu.utils.metrics import PipelineMetrics
+
+
+@pytest.fixture(scope="module")
+def video(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("v") / "clip.mp4")
+    write_synthetic_video(path, n_frames=30, h=120, w=160, fps=25.0)
+    return path
+
+
+class TestPrefetcher:
+    def test_yields_all_in_order(self, video):
+        import cv2
+        positions = [0, 3, 7, 7.9, 12, 29]
+        got = list(DecodePrefetcher(video, positions))
+        assert [p for p, _ in got] == positions
+        vc = cv2.VideoCapture(video)
+        for p, frame in got:
+            vc.set(cv2.CAP_PROP_POS_FRAMES, p)
+            _, ref = vc.read()
+            np.testing.assert_array_equal(frame, ref)
+
+    def test_stops_at_failure(self, video):
+        got = list(DecodePrefetcher(video, [0, 5, 30, 10]))
+        assert [p for p, _ in got] == [0, 5, 30]
+        assert got[-1][1] is None            # failed read, then stop
+
+
+class TestChunkSizing:
+    def test_resolution_scaling(self):
+        assert pair_chunk_for(72, 129) == 32          # capped
+        assert pair_chunk_for(1080, 1920) == 32
+        assert 4 <= pair_chunk_for(2160, 3840) <= 8   # 4K bounded
+        assert pair_chunk_for(100000, 100000) == 1    # floor
+
+
+class TestRobustCorpus:
+    def test_failures_skipped_and_reported(self, tmp_path):
+        from optical_flow_tpu.pipeline.extractor import run_corpus
+        root = str(tmp_path)
+        # goodvid has real media; badvid has a corrupt file
+        os.makedirs(os.path.join(root, "goodvid", "media"))
+        write_synthetic_video(
+            os.path.join(root, "goodvid", "media", "goodvid.mp4"),
+            n_frames=30, h=120, w=160)
+        os.makedirs(os.path.join(root, "badvid", "media"))
+        with open(os.path.join(root, "badvid", "media", "badvid.mp4"),
+                  "wb") as f:
+            f.write(b"not a video")
+
+        failures = run_corpus(root, ["badvid", "goodvid"],
+                              ExtractorConfig(), robust=True)
+        assert failures == ["badvid"]
+        assert os.path.isfile(
+            os.path.join(root, "goodvid", "opticalflow", "goodvid.csv"))
+
+        # non-robust mode raises on the bad video (reference behavior)
+        with pytest.raises(Exception):
+            run_corpus(root, ["badvid"], ExtractorConfig())
+
+
+class TestMetrics:
+    def test_stage_accumulation(self):
+        m = PipelineMetrics("t")
+        with m.stage("a"):
+            pass
+        with m.stage("a"):
+            pass
+        m.add("frame_pairs", 5)
+        assert m.stages["a"].count == 2
+        assert m.counters["frame_pairs"] == 5
+        m.log_summary()   # should not raise
