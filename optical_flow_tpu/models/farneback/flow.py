@@ -57,6 +57,14 @@ def _pick_poly_exp_fn(h: int, w: int):
     return core.poly_exp
 
 
+def _pick_gauss_fn(h: int, w: int):
+    """Fused Pallas separable Gaussian on TPU for non-trivial shapes."""
+    if _on_tpu() and min(h, w) >= 32:
+        from optical_flow_tpu.pallas.gauss import gaussian_blur_pallas
+        return gaussian_blur_pallas
+    return core.gaussian_blur_reflect101
+
+
 def _pick_blur_solve_fn(h: int, w: int, winsize: int, gaussian: bool):
     """Fused Pallas blur+solve on TPU for non-trivial shapes."""
     if _on_tpu() and min(h, w) >= 32 and winsize >= 3:
@@ -82,9 +90,11 @@ def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
         poly_fn = (_pick_poly_exp_fn(lv.height, lv.width)
                    if use_pallas else core.poly_exp)
         kern = gaussian_kernel(lv.smooth_ksize, lv.smooth_sigma)
+        gauss_fn = (_pick_gauss_fn(*prev_f.shape[-2:])
+                    if use_pallas else core.gaussian_blur_reflect101)
         # both frames as one batch of 2B for the shared smoothing/polyexp
         both = jnp.concatenate([prev_f, nxt_f], axis=0)
-        sm = core.gaussian_blur_reflect101(both, kern)
+        sm = gauss_fn(both, kern)
         I = resize_bilinear_f32(sm, lv.width, lv.height)
         Rb = poly_fn(I, cfg.poly_n, cfg.poly_sigma)
         R0, R1 = Rb[:B], Rb[B:]

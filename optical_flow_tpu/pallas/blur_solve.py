@@ -26,7 +26,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from optical_flow_tpu.models.farneback.core import gaussian_window_kernel
 
-TILE_H = 8
+TILE_H = 16
 
 
 def _ceil(a: int, m: int) -> int:
@@ -62,23 +62,64 @@ def _kernel(mp_hbm, flow_ref, win, sem, *, m: int, pad: int, wp: int,
     # chunk the width so body temporaries stay within VMEM at 4K+
     out_w = wp - 2 * pad
     XCHUNK = min(out_w, 1024)
+    # factored box sums: with 2m+1 = a*b, first compute the a-tap partial
+    # sums once (shared across output positions), then b strided adds —
+    # a+b-2 adds per element instead of 2m
+    def factor(n):
+        for a in (5, 4, 3):
+            if n % a == 0 and n // a > 1:
+                return a, n // a
+        return None
+    fac = None if taps is not None else factor(2 * m + 1)
+
+    def box_v(arr, out_rows):
+        # vertical taps j=0..2m at row offset pad-m+j (+r per output row)
+        if fac is None:
+            acc = None
+            for k in range(2 * m + 1):
+                t = arr[pad - m + k: pad - m + k + out_rows, :]
+                t = t if taps is None else t * jnp.float32(taps[k])
+                acc = t if acc is None else acc + t
+            return acc
+        a, b = fac
+        ext = out_rows + (b - 1) * a
+        sa = None
+        for i in range(a):
+            t = arr[pad - m + i: pad - m + i + ext, :]
+            sa = t if sa is None else sa + t
+        acc = None
+        for j in range(b):
+            t = sa[j * a: j * a + out_rows, :]
+            acc = t if acc is None else acc + t
+        return acc
+
+    def box_h(arr, out_cols):
+        if fac is None:
+            acc = None
+            for k in range(2 * m + 1):
+                t = arr[:, pad - m + k: pad - m + k + out_cols]
+                t = t if taps is None else t * jnp.float32(taps[k])
+                acc = t if acc is None else acc + t
+            return acc
+        a, b = fac
+        ext = out_cols + (b - 1) * a
+        sa = None
+        for i in range(a):
+            t = arr[:, pad - m + i: pad - m + i + ext]
+            sa = t if sa is None else sa + t
+        acc = None
+        for j in range(b):
+            t = sa[:, j * a: j * a + out_cols]
+            acc = t if acc is None else acc + t
+        return acc
+
     for x0 in range(0, out_w, XCHUNK):
         cw = min(XCHUNK, out_w - x0)
         outs = []
         for c in range(5):
             wc = win[slot, c, :, x0: x0 + cw + 2 * pad]   # (rows, cw+2pad)
-            # vertical: sum taps j=0..2m at row offset pad - m + j
-            v = None
-            for j in range(2 * m + 1):
-                t = wc[pad - m + j: pad - m + j + TILE_H, :]
-                t = t if taps is None else t * jnp.float32(taps[j])
-                v = t if v is None else v + t
-            # horizontal: output lane x corresponds to padded col x + pad
-            hsum = None
-            for k in range(2 * m + 1):
-                t = v[:, pad - m + k: pad - m + k + cw]
-                t = t if taps is None else t * jnp.float32(taps[k])
-                hsum = t if hsum is None else hsum + t
+            v = box_v(wc, TILE_H)
+            hsum = box_h(v, cw)
             outs.append(hsum * jnp.float32(inv_area))
 
         g11, g12, g22, h1, h2 = outs
@@ -96,7 +137,7 @@ def _omap(n_bands):
 @functools.lru_cache(maxsize=64)
 def _build(batch: int, h: int, w: int, winsize: int, gaussian: bool):
     m = winsize // 2
-    pad = _ceil(max(m, 1), TILE_H)
+    pad = _ceil(max(m, 1), 8)
     hp = _ceil(h, TILE_H)
     wp = _ceil(w + 2 * pad, 128)
     rows = 2 * pad + TILE_H

@@ -22,7 +22,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from optical_flow_tpu.models.farneback.params import poly_exp_weights
 
-TILE_H = 8
+TILE_H = 16
 
 
 def _ceil(a: int, m: int) -> int:
@@ -97,7 +97,7 @@ def _kernel(ip_hbm, r_ref, win, sem, *, n: int, pad: int, wp: int,
 @functools.lru_cache(maxsize=64)
 def _build(batch: int, h: int, w: int, poly_n: int, poly_sigma: float):
     g, xg, xxg, ig11, ig03, ig33, ig55 = poly_exp_weights(poly_n, poly_sigma)
-    pad = _ceil(max(poly_n, 1), TILE_H)
+    pad = _ceil(max(poly_n, 1), 8)
     hp = _ceil(h, TILE_H)
     wp = _ceil(w + 2 * pad, 128)
     out_w = wp - 2 * pad

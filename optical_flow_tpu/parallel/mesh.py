@@ -59,11 +59,33 @@ def _sharded_flow_fn(mesh: Mesh, h: int, w: int, config: FarnebackConfig):
     plan = build_plan(h, w, config)
     in_s = NamedSharding(mesh, P("data", "spatial", None))
     out_s = NamedSharding(mesh, P("data", "spatial", None, None))
+    n_spatial = mesh.shape["spatial"]
+
+    if n_spatial == 1:
+        # pure data parallelism: shard_map over 'data' so each chip runs
+        # the full per-shard pyramid locally — including the Pallas
+        # kernels on TPU backends (each shard is an independent batch)
+        from jax.sharding import PartitionSpec
+        from optical_flow_tpu.models.farneback.flow import _on_tpu
+        use_pallas = _on_tpu()
+
+        def per_shard(prev, nxt):
+            flow = _flow_pyramid(prev.astype(jnp.float32),
+                                 nxt.astype(jnp.float32), plan,
+                                 use_pallas=use_pallas)
+            return jnp.moveaxis(flow, 1, -1)
+
+        fn = jax.shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(P("data", None, None), P("data", None, None)),
+            out_specs=P("data", None, None, None),
+            check_vma=False)
+        return jax.jit(fn)
 
     def fn(prev, nxt):
-        # XLA path (update_fn=default): the Pallas kernel is not yet
-        # shard_map-wrapped, and XLA's SPMD partitioner handles the whole
-        # pyramid (stencil halos become collective-permutes over ICI)
+        # spatial sharding: XLA SPMD partitions the whole pyramid (stencil
+        # halos become collective-permutes over ICI); the Pallas kernels
+        # are not spatially partitionable, so the XLA path is used
         flow = _flow_pyramid(prev.astype(jnp.float32),
                              nxt.astype(jnp.float32), plan, use_pallas=False)
         return jnp.moveaxis(flow, 1, -1)

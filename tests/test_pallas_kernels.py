@@ -21,12 +21,14 @@ def interpret_mode():
     pl.pallas_call = patched
     import optical_flow_tpu.pallas.update_gather as ug
     import optical_flow_tpu.pallas.blur_solve as bs
-    ug._build.cache_clear()
-    bs._build.cache_clear()
+    import optical_flow_tpu.pallas.polyexp as pe
+    import optical_flow_tpu.pallas.gauss as ga
+    for m in (ug, bs, pe, ga):
+        m._build.cache_clear()
     yield
     pl.pallas_call = orig
-    ug._build.cache_clear()
-    bs._build.cache_clear()
+    for m in (ug, bs, pe, ga):
+        m._build.cache_clear()
 
 
 class TestUpdateGatherKernel:
@@ -98,3 +100,17 @@ class TestBlurSolveKernel:
         ref = np.asarray(core.solve_flow(
             core._corr1d(core._corr1d(M, k, axis=-1), k, axis=-2), 1.0))
         np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-3)
+
+
+class TestGaussKernel:
+    @pytest.mark.parametrize("ksize,sigma", [(3, 0.0), (9, 1.5), (19, 3.5)])
+    def test_matches_xla_reflect_blur(self, ksize, sigma):
+        from optical_flow_tpu.pallas.gauss import gaussian_blur_pallas
+        from optical_flow_tpu.models.farneback import core
+        from optical_flow_tpu.models.farneback.params import gaussian_kernel
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.uniform(0, 255, (2, 50, 200)).astype(np.float32))
+        taps = gaussian_kernel(ksize, sigma)
+        out = np.asarray(gaussian_blur_pallas(img, taps))
+        ref = np.asarray(core.gaussian_blur_reflect101(img, taps))
+        np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-5)
