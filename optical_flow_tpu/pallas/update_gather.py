@@ -7,15 +7,19 @@ per-element HBM gather, which measures ~35 ms per 1080p frame on v5e —
 supports an intra-tile lane shuffle (`take_along_axis` on an (8, 128)
 block).  This kernel exploits the smoothness of blurred flow:
 
-  * For each (8, 128) output tile, the displaced source coordinates
-    cluster tightly.  The kernel computes the tile's source bounding box,
-    DMAs one dynamic window (5, WIN_H, WIN_W) of R1 from HBM into VMEM,
-    and resolves the fetch with a doubly-dynamic loop over the (source
-    row, source 128-lane tile) candidates actually present — typically a
-    handful — using the native lane shuffle per candidate.
-  * Pixels whose source escapes the window (fast motion boundaries) are
-    flagged; the caller fixes them with a bounded-size XLA gather+scatter
-    correction (exactness is never sacrificed).
+  * Per 8-row band, one dynamic window (5, WIN_H, W) of R1 is DMA'd from
+    HBM, anchored at the band's minimum fetched row (anchors precomputed
+    at XLA level and scalar-prefetched so windows double-buffer).
+  * Within each 128-lane subtile the fetch is resolved over a static
+    V_MAX x T_MAX block of (relative-row, 128-lane-tile) candidates —
+    blurred flow is smooth, so the per-subtile spread of
+    `source_row - own_row` is ~0..2.  Each relative-row candidate's source
+    rows form one contiguous diagonal block, loaded as an aligned 16-row
+    block + dynamic sublane rotate, then lane-shuffled per tile candidate.
+  * Pixels outside the candidate block (fast motion boundaries) are
+    flagged; a bounded XLA gather+scatter correction fixes up to VIOL_MAX
+    of them, and a full-XLA third tier covers pathological flow fields —
+    exactness is never sacrificed (bit-identical to the XLA path).
   * Displacements that leave the image entirely take OpenCV's R0-only
     fallback (no fetch), matching `update_matrices` semantics exactly.
 
