@@ -81,3 +81,36 @@ class TestMetrics:
         assert m.stages["a"].count == 2
         assert m.counters["frame_pairs"] == 5
         m.log_summary()   # should not raise
+
+
+class TestFaultInjection:
+    def test_truncated_video_early_break(self, tmp_path):
+        """A video truncated mid-stream must degrade exactly like the
+        reference's early break (SURVEY.md section 5 fault injection):
+        frames decodable before the cut are used, the tail is dropped."""
+        import shutil
+        from optical_flow_tpu.io.video import VideoReader
+        from optical_flow_tpu.pipeline.extractor import extract_video
+
+        full = str(tmp_path / "full.mp4")
+        write_synthetic_video(full, n_frames=60, h=120, w=160, fps=25.0)
+        cut = str(tmp_path / "cut.mp4")
+        size = os.path.getsize(full)
+        with open(full, "rb") as f:
+            data = f.read(int(size * 0.5))    # chop the second half
+        with open(cut, "wb") as f:
+            f.write(data)
+
+        vr = VideoReader(cut)
+        if not vr.is_opened():
+            # container metadata lost entirely -> clean IOError is also
+            # acceptable degradation
+            with pytest.raises(Exception):
+                extract_video(cut, ExtractorConfig())
+            return
+        vr.release()
+        # decodable prefix -> shorter output, no crash
+        mags, (start_ms, end_ms) = extract_video(cut, ExtractorConfig())
+        full_mags, (_, full_end) = extract_video(full, ExtractorConfig())
+        assert len(mags) <= len(full_mags)
+        assert end_ms <= full_end
