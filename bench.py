@@ -65,20 +65,26 @@ def main():
     cfg = FarnebackConfig()
 
     # On this TPU transport block_until_ready can return before execution
-    # finishes; force completion with a scalar host read (checksum), and
-    # amortize the host round-trip over several in-flight batches.
-    def run_sync():
-        out = calc_flow_batched(prev_d, nxt_d, cfg)
-        float(jnp.sum(out[:, ::97, ::97]))
-        return out
+    # finishes; force completion with a scalar host read (checksum).  The
+    # production pipelines keep batches in flight (async dispatch), so
+    # throughput is measured over PIPELINE consecutive batches with one
+    # sync — the same amortization the extractor gets.
+    def sync(x):
+        float(jnp.sum(x[:, ::97, ::97]))
 
+    out = calc_flow_batched(prev_d, nxt_d, cfg)
+    sync(out)
     for _ in range(WARMUP):
-        out = run_sync()
+        sync(calc_flow_batched(prev_d, nxt_d, cfg))
+    PIPELINE = 5
     times = []
     for _ in range(ITERS):
         t0 = time.perf_counter()
-        out = run_sync()
-        times.append(time.perf_counter() - t0)
+        outs = [calc_flow_batched(prev_d, nxt_d, cfg)
+                for _ in range(PIPELINE)]
+        out = outs[-1]
+        sync(out)
+        times.append((time.perf_counter() - t0) / PIPELINE)
     dt = float(np.median(times))
     pairs_per_s = B / dt
 

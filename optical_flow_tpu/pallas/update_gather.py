@@ -42,20 +42,25 @@ from optical_flow_tpu.models.farneback.core import border_scale_field
 TILE_H = 8
 TILE_W = 128
 WIN_H = 32          # source-window rows (spread budget per band)
-V_MAX = 4           # static relative-row candidates per subtile
+V_MAX = 4           # static relative-row candidates per subtile (pass 1)
+V2_MAX = 12         # pass-2 candidates (motion-boundary ramps), gated
 T_MAX = 2           # static 128-lane-tile candidates per subtile
 VIOL_MAX = 16384    # max spilled pixels fixed by the XLA correction
 
 
 def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
-                   m_ref, viol_ref, win, sem, *, h_real: int, w_real: int,
-                   n_bands: int, n_slots: int):
+                   m_ref, viol_ref, win, win2, fbuf, sem, sem2, *,
+                   h_real: int, w_real: int, n_bands: int, n_slots: int):
     """Grid: (B * H/TILE_H,) row bands.  Each step processes an (TILE_H, W)
     band of one batch element: one dynamic-window DMA (5, WIN_H, W)
     anchored at the band's minimum fetched row (precomputed at XLA level
     and scalar-prefetched so windows double-buffer across bands), then per
     128-lane subtile a static candidate block resolves the fetch with the
-    native lane shuffle + sublane rotate."""
+    native lane shuffle + sublane rotate.  Spilled pixels (e.g. the second
+    motion cluster at object boundaries) get an in-kernel second-chance
+    pass with its own window anchored at the spilled cluster, gated per
+    band; only the residual after both passes goes to the XLA correction.
+    """
     gi = pl.program_id(0)
     n_total = pl.num_programs(0)
     i = gi % n_bands
@@ -99,56 +104,88 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
     xi = jnp.clip(x1, 0, W - 1).astype(jnp.int32)
     yi = jnp.clip(y1, 0, H - 1).astype(jnp.int32)
 
-    sy = anchors_ref[gi]
-
-    lr = yi - sy                       # local row in window
-    in_window = (lr >= 0) & (lr < WIN_H)
-    use_win0 = inside & in_window
-    xt = jnp.where(use_win0, xi // TILE_W, n_sub - 1)
-    lane = jnp.where(use_win0, xi % TILE_W, 0)
-    # relative displacement: source row = own band row + rel.  Candidates
-    # enumerate rel values (spread ~0..2 for blurred flow), so each
-    # candidate's source rows form one contiguous 8-row DIAGONAL block,
-    # loaded as a 16-row aligned block + dynamic sublane rotate — no
-    # per-row one-hot selection needed.
     row_in_band = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, Wp), 0)
-    rel = jnp.where(use_win0, lr - row_in_band, WIN_H)
+    xt = xi // TILE_W
+    lane = xi % TILE_W
+
+    def fetch_pass(load, sy, active, gated=False, vmax=V_MAX):
+        """One candidate-block pass over all subtiles.
+
+        `load(c, v8, off)` returns a (16, TILE_W) window block.  Writes
+        fetched values for covered pixels of `active` into fbuf and
+        returns the combined covered mask (TILE_H, Wp).  gated=True skips
+        subtiles with no active pixels (second-chance pass: most subtiles
+        of a spilled band are clean)."""
+        lr = yi - sy
+        in_w = (lr >= 0) & (lr < WIN_H)
+        act = active & in_w
+        rel = lr - row_in_band
+        covered_all = []
+        for j in range(n_sub):
+            sl = slice(j * TILE_W, (j + 1) * TILE_W)
+            aj = act[:, sl]
+            relj = rel[:, sl]
+            xtj = xt[:, sl]
+            lnj = lane[:, sl]
+            v_lo = jnp.min(jnp.where(aj, relj, WIN_H))
+            t_lo = jnp.min(jnp.where(aj, xtj, n_sub - 1))
+            cov = (aj & (relj < v_lo + vmax) & (xtj < t_lo + T_MAX))
+            covered_all.append(cov)
+
+            def subtile_work(v_lo=v_lo, t_lo=t_lo, cov=cov, relj=relj,
+                             xtj=xtj, lnj=lnj, sl=sl):
+                for kv in range(vmax):    # static unroll: no loop machinery
+                    v = v_lo + kv
+                    v8 = pl.multiple_of(
+                        jnp.clip((v // 8) * 8, 0, WIN_H - 16), 8)
+                    sh = v - v8
+                    for kt in range(T_MAX):
+                        t = jnp.minimum(t_lo + kt, n_sub - 1)
+                        sel = cov & (relj == v) & (xtj == t)
+                        off = pl.multiple_of(t * TILE_W, TILE_W)
+                        for c in range(5):
+                            blk16 = load(c, v8, off)
+                            diag = pltpu.roll(blk16, -sh, 0)[:TILE_H]
+                            vals = jnp.take_along_axis(diag, lnj, axis=1)
+                            fbuf[c, :, sl] = jnp.where(
+                                sel, vals, fbuf[c, :, sl])
+
+            if gated:
+                pl.when(jnp.any(aj))(subtile_work)
+            else:
+                subtile_work()
+        return jnp.concatenate(covered_all, axis=-1)
 
     dma(slot, gi).wait()
 
-    fetched = []
-    viols = []
-    for j in range(n_sub):             # static loop over 128-lane subtiles
-        sl = slice(j * TILE_W, (j + 1) * TILE_W)
-        uw0 = use_win0[:, sl]
-        relj = rel[:, sl]
-        xtj = xt[:, sl]
-        lnj = lane[:, sl]
-        # static V_MAX x T_MAX candidate block anchored at the subtile
-        # minima; spill-overs join the violation-correction path
-        v_lo = jnp.min(relj)
-        t_lo = jnp.min(xtj)
-        uw = (uw0 & (relj < v_lo + V_MAX) & (xtj < t_lo + T_MAX))
-        viols.append(inside[:, sl] & jnp.logical_not(uw))
+    for c in range(5):
+        fbuf[c] = jnp.zeros((TILE_H, Wp), jnp.float32)
+    covered1 = fetch_pass(
+        lambda c, v8, off: win[slot, c, pl.ds(v8, 16), pl.ds(off, TILE_W)],
+        anchors_ref[gi], inside)
+    spill = inside & jnp.logical_not(covered1)
 
-        acc = [jnp.zeros((TILE_H, TILE_W), jnp.float32) for _ in range(5)]
-        for kv in range(V_MAX):        # static unroll: no loop machinery
-            v = v_lo + kv
-            v8 = pl.multiple_of(
-                jnp.clip((v // 8) * 8, 0, WIN_H - 16), 8)
-            sh = v - v8
-            for kt in range(T_MAX):
-                t = jnp.minimum(t_lo + kt, n_sub - 1)
-                sel = uw & (relj == v) & (xtj == t)
-                off = pl.multiple_of(t * TILE_W, TILE_W)
-                for c in range(5):
-                    blk16 = win[slot, c, pl.ds(v8, 16), pl.ds(off, TILE_W)]
-                    diag = pltpu.roll(blk16, -sh, 0)[:TILE_H]
-                    vals = jnp.take_along_axis(diag, lnj, axis=1)
-                    acc[c] = jnp.where(sel, vals, acc[c])
-        fetched.append(jnp.stack(acc))
-    fetched = jnp.concatenate(fetched, axis=-1)     # (5, TILE_H, W)
-    viol_ref[0, 0] = jnp.concatenate(viols, axis=-1).astype(jnp.float32)
+    @pl.when(jnp.any(spill))
+    def _():
+        # second chance: window anchored at the spilled cluster
+        sy2 = pl.multiple_of(jnp.clip(
+            (jnp.min(jnp.where(spill, yi, Hp - 1)) // 8) * 8,
+            0, Hp - WIN_H), 8)
+        cp2 = pltpu.make_async_copy(
+            r1_hbm.at[gi // n_bands, :, pl.ds(sy2, WIN_H), :], win2, sem2)
+        cp2.start()
+        cp2.wait()
+        covered2 = fetch_pass(
+            lambda c, v8, off: win2[c, pl.ds(v8, 16), pl.ds(off, TILE_W)],
+            sy2, spill, gated=True, vmax=V2_MAX)
+        viol_ref[0, 0] = (spill & jnp.logical_not(covered2)
+                          ).astype(jnp.float32)
+
+    @pl.when(jnp.logical_not(jnp.any(spill)))
+    def _():
+        viol_ref[0, 0] = jnp.zeros((TILE_H, Wp), jnp.float32)
+
+    fetched = jnp.stack([fbuf[c] for c in range(5)])
 
     r0 = r0_ref[0]
     f0 = fetched[0]
@@ -204,7 +241,10 @@ def _build(batch: int, h: int, w: int, h_real: int, w_real: int):
         ],
         scratch_shapes=[
             pltpu.VMEM((n_slots, 5, WIN_H, w), jnp.float32),
+            pltpu.VMEM((5, WIN_H, w), jnp.float32),
+            pltpu.VMEM((5, TILE_H, w), jnp.float32),
             pltpu.SemaphoreType.DMA((n_slots,)),
+            pltpu.SemaphoreType.DMA(()),
         ],
     )
     kernel = pl.pallas_call(

@@ -63,6 +63,22 @@ class TestUpdateGatherKernel:
             flow[:, 1, 30:32, 100:160] = 45.0  # escapes the 32-row window
         self._check(64, 512, mod)
 
+    def test_second_cluster_in_kernel_pass(self):
+        # a bimodal band (hard motion boundary): second cluster handled by
+        # the in-kernel second-chance window
+        def mod(flow):
+            flow[:, 1, :, 256:] = 40.0
+            flow[:, 0, :, 256:] = -30.0
+        self._check(96, 512, mod)
+
+    def test_three_clusters_residual_correction(self):
+        # three widely separated clusters in one band: residual after the
+        # second pass must be fixed by the XLA correction
+        def mod(flow):
+            flow[:, 1, 4:, 128:256] = 40.0
+            flow[:, 1, 4:, 384:] = 80.0
+        self._check(96, 512, mod)
+
 
 class TestBlurSolveKernel:
     def _psd_M(self, B, H, W, seed=0):
