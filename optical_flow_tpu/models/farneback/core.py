@@ -17,8 +17,6 @@ unexplained asymmetry at the bottom/right image border (its output is not
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -65,7 +65,6 @@ def _sharded_flow_fn(mesh: Mesh, h: int, w: int, config: FarnebackConfig):
         # pure data parallelism: shard_map over 'data' so each chip runs
         # the full per-shard pyramid locally — including the Pallas
         # kernels on TPU backends (each shard is an independent batch)
-        from jax.sharding import PartitionSpec
         from optical_flow_tpu.models.farneback.flow import _on_tpu
         use_pallas = _on_tpu()
 

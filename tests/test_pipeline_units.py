@@ -114,3 +114,46 @@ class TestFaultInjection:
         full_mags, (_, full_end) = extract_video(full, ExtractorConfig())
         assert len(mags) <= len(full_mags)
         assert end_ms <= full_end
+
+
+class TestWarmup:
+    def test_warmup_compiles(self):
+        from optical_flow_tpu.utils.warmup import (
+            warmup_extractor, warmup_flow, warmup_visualizer)
+        warmup_flow(48, 64, batch=2)
+        warmup_extractor(96, 128)
+        warmup_visualizer(48, 64)
+
+
+class TestCLICompat:
+    def test_extractor_args_match_reference(self):
+        from optical_flow_tpu.cli.optical_flow import build_parser
+        # exactly the reference's surface (optical_flow.py:171-185)
+        a = build_parser().parse_args(
+            ["/data", "vid1", "vid2", "--frame_width", "200",
+             "--step_size", "500", "--window_size", "600",
+             "--top_percentile", "10", "--force_run", "True"])
+        assert a.features_root == "/data"
+        assert a.videoids == ["vid1", "vid2"]
+        assert (a.frame_width, a.step_size, a.window_size,
+                a.top_percentile) == (200, 500, 600, 10)
+        assert a.force_run == "True"          # string, like the reference
+        # reference defaults
+        d = build_parser().parse_args(["/data"])
+        assert (d.frame_width, d.step_size, d.window_size,
+                d.top_percentile, d.force_run) == (129, 300, 300, 5, "False")
+        assert d.videoids == []
+
+    def test_visualizer_args_match_reference(self):
+        from optical_flow_tpu.cli.visualize_optical_flow import build_parser
+        a = build_parser().parse_args(["/v/clip.mp4", "/out", "100", "2000"])
+        assert a.video_dir == "/v/clip.mp4"
+        assert a.images_path == "/out"
+        assert (a.shot_begin, a.shot_end) == (100, 2000)
+
+    def test_done_version_format(self):
+        # .done content byte-compatible with the reference
+        # (optical_flow.py:152)
+        cfg = ExtractorConfig(frame_width=129, step_size=300,
+                              window_size=300, top_percentile=5)
+        assert cfg.done_version == "20201209\n129\n300\n300\n5"
