@@ -60,14 +60,17 @@ def _window_schedule(tot_frames: int, fps: float, step_ms: int, window_ms: int):
     return windows, step
 
 
-def _magnitude_sums(prev_batch: np.ndarray, next_batch: np.ndarray,
-                    config: ExtractorConfig) -> np.ndarray:
+def _magnitude_sums(prev_batch, next_batch,
+                    config: ExtractorConfig):
     """Summed flow magnitude per frame pair — `np.sum(mag)` of
-    `calculate_optical_flow` (`optical_flow.py:49-66`), batched on device."""
+    `calculate_optical_flow` (`optical_flow.py:49-66`), batched on device.
+
+    Returns a DEVICE array (B,); callers convert at the end so chunks
+    pipeline without a host sync each."""
     flow = calc_flow_batched(jnp.asarray(prev_batch), jnp.asarray(next_batch),
                              config.farneback)
     mag, _ = cart_to_polar(flow[..., 0], flow[..., 1])
-    return np.asarray(jnp.sum(mag, axis=(-2, -1)))
+    return jnp.sum(mag, axis=(-2, -1))
 
 
 def extract_video(v_path: str, config: ExtractorConfig
@@ -110,14 +113,15 @@ def extract_video(v_path: str, config: ExtractorConfig
     mags: List[Tuple[int, int, float]] = []
     chunk_size = pair_chunk_for(vid.height or 1080, vid.width or 1920)
 
+    pending_sums = []
+
     def flush(chunk):
         with metrics.stage("flow"):
             prev = jnp.stack([frames[w[0]] for w in chunk])
             nxt = jnp.stack([frames[w[1]] for w in chunk])
-            sums = _magnitude_sums(prev, nxt, config)
+            sums = _magnitude_sums(prev, nxt, config)   # async dispatch
         metrics.add("frame_pairs", len(chunk))
-        for (start, end), s in zip(chunk, sums):
-            mags.append((start, end, float(s)))
+        pending_sums.append((chunk, sums))
 
     with metrics.stage("stream"):
         for pos, frame in prefetch:
@@ -137,6 +141,10 @@ def extract_video(v_path: str, config: ExtractorConfig
         # like the reference's early break
         if chunk:
             flush(chunk)
+        # one host sync for all chunks
+        for chk, sums in pending_sums:
+            for (start, end), s in zip(chk, np.asarray(sums)):
+                mags.append((start, end, float(s)))
 
     if not mags:
         raise Exception(

@@ -24,6 +24,7 @@ is host-side (native libjpeg).
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
 import jax.numpy as jnp
@@ -69,6 +70,10 @@ def visualize_shot(v_path: str, images_path: str, start_ms: int, end_ms: int,
 
     prefetch = DecodePrefetcher(v_path, positions)
     chunk_size = pair_chunk_for(h or 1080, w or 1920)
+    # JPEG encode is host-side CPU work (libjpeg releases the GIL);
+    # a small pool keeps it off the decode/compute critical path
+    pool = ThreadPoolExecutor(max_workers=4)
+    encodes = []
 
     stamps = []
     gray = []           # device gray frames (freed once consumed)
@@ -86,9 +91,10 @@ def visualize_shot(v_path: str, images_path: str, start_ms: int, end_ms: int,
         with metrics.stage("encode"):
             for j, i in enumerate(pend):
                 ms = int(stamps[i] / fps * 1000)
-                write_jpeg_bgr(
+                encodes.append(pool.submit(
+                    write_jpeg_bgr,
                     os.path.join(images_path, f"flow_{ms}.jpeg"),
-                    flow_bgr[j], config.jpeg_quality)
+                    flow_bgr[j], config.jpeg_quality))
                 written += 1
             for i in pend:
                 gray[i - 1] = None     # frame pairs are consecutive; i-1 done
@@ -103,15 +109,18 @@ def visualize_shot(v_path: str, images_path: str, start_ms: int, end_ms: int,
             if i >= 1:
                 # source image written on arrival (bounded host memory at 4K)
                 ms = int(pos / fps * 1000)
-                with metrics.stage("encode"):
-                    write_jpeg_bgr(
-                        os.path.join(images_path, f"source_{ms}.jpeg"),
-                        frame, config.jpeg_quality)
+                encodes.append(pool.submit(
+                    write_jpeg_bgr,
+                    os.path.join(images_path, f"source_{ms}.jpeg"),
+                    frame, config.jpeg_quality))
                 pend.append(i)
                 if len(pend) >= chunk_size:
                     flush(pend)
                     pend = []
         if pend:
             flush(pend)
+        for f in encodes:
+            f.result()                  # surface encode errors
+        pool.shutdown()
     metrics.log_summary()
     return written

@@ -157,3 +157,47 @@ class TestCLICompat:
         cfg = ExtractorConfig(frame_width=129, step_size=300,
                               window_size=300, top_percentile=5)
         assert cfg.done_version == "20201209\n129\n300\n300\n5"
+
+
+class TestCorpusRace:
+    def test_concurrent_workers_idempotent(self, tmp_path):
+        """Two workers racing on overlapping videoids must both succeed and
+        converge to valid identical outputs (the .done-file model of the
+        reference is last-writer-wins with identical content — SURVEY.md
+        section 2e 'poor-man's distributed lock')."""
+        import threading
+        from optical_flow_tpu.pipeline.extractor import run_corpus
+
+        root = str(tmp_path)
+        for vid in ["v0", "v1"]:
+            os.makedirs(os.path.join(root, vid, "media"))
+            write_synthetic_video(
+                os.path.join(root, vid, "media", vid + ".mp4"),
+                n_frames=30, h=120, w=160, seed=7)
+
+        errs = []
+
+        def worker():
+            try:
+                run_corpus(root, ["v0", "v1"], ExtractorConfig())
+            except Exception as e:          # pragma: no cover
+                errs.append(e)
+
+        ts = [threading.Thread(target=worker) for _ in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs
+        for vid in ["v0", "v1"]:
+            csv = os.path.join(root, vid, "opticalflow", vid + ".csv")
+            with open(csv) as f:
+                line = f.read()
+            start, end, mags = line.split("\t")
+            assert len(mags.split(" ")) > 0
+            done = os.path.join(root, vid, "opticalflow", ".done")
+            assert os.path.isfile(done)
+        # identical inputs -> both videos produce the same magnitudes
+        a = open(os.path.join(root, "v0", "opticalflow", "v0.csv")).read()
+        b = open(os.path.join(root, "v1", "opticalflow", "v1.csv")).read()
+        assert a == b
