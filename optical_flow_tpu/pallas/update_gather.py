@@ -132,7 +132,14 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
             covered_all.append(cov)
 
             def subtile_work(v_lo=v_lo, t_lo=t_lo, cov=cov, relj=relj,
-                             xtj=xtj, lnj=lnj, sl=sl):
+                             xtj=xtj, lnj=lnj, sl=sl, seed_fbuf=gated):
+                # accumulate in registers; fbuf is read/written once per
+                # subtile instead of once per candidate
+                if seed_fbuf:
+                    acc = [fbuf[c, :, sl] for c in range(5)]
+                else:
+                    acc = [jnp.zeros((TILE_H, TILE_W), jnp.float32)
+                           for _ in range(5)]
                 for kv in range(vmax):    # static unroll: no loop machinery
                     v = v_lo + kv
                     v8 = pl.multiple_of(
@@ -146,8 +153,9 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
                             blk16 = load(c, v8, off)
                             diag = pltpu.roll(blk16, -sh, 0)[:TILE_H]
                             vals = jnp.take_along_axis(diag, lnj, axis=1)
-                            fbuf[c, :, sl] = jnp.where(
-                                sel, vals, fbuf[c, :, sl])
+                            acc[c] = jnp.where(sel, vals, acc[c])
+                for c in range(5):
+                    fbuf[c, :, sl] = acc[c]
 
             if gated:
                 pl.when(jnp.any(aj))(subtile_work)
@@ -157,8 +165,6 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
 
     dma(slot, gi).wait()
 
-    for c in range(5):
-        fbuf[c] = jnp.zeros((TILE_H, Wp), jnp.float32)
     covered1 = fetch_pass(
         lambda c, v8, off: win[slot, c, pl.ds(v8, 16), pl.ds(off, TILE_W)],
         anchors_ref[gi], inside)

@@ -37,6 +37,7 @@ from optical_flow_tpu.io.video import VideoReader
 from optical_flow_tpu.pipeline.prefetch import DecodePrefetcher, pair_chunk_for
 from optical_flow_tpu.models.farneback import calc_flow_batched
 from optical_flow_tpu.ops import bgr2gray_u8, resize_frame_u8
+from optical_flow_tpu.ops.resize import aspect_preserving_size
 from optical_flow_tpu.ops.polar import cart_to_polar
 from optical_flow_tpu.utils.config import ExtractorConfig, EXTRACTOR
 from optical_flow_tpu.utils.logging import get_logger
@@ -111,7 +112,14 @@ def extract_video(v_path: str, config: ExtractorConfig
     pending = next(win_iter, None)
     chunk: List[Tuple[int, int]] = []
     mags: List[Tuple[int, int, float]] = []
-    chunk_size = pair_chunk_for(vid.height or 1080, vid.width or 1920)
+    # chunk sizing uses the FLOW resolution (frames are resized to
+    # frame_width before flow), not the source resolution
+    if config.frame_width:
+        fw, fh = aspect_preserving_size(vid.height, vid.width,
+                                        config.frame_width)
+    else:
+        fw, fh = vid.width, vid.height
+    chunk_size = pair_chunk_for(max(fh, 1), max(fw, 1))
 
     pending_sums = []
 

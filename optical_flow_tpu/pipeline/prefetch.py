@@ -59,11 +59,12 @@ class DecodePrefetcher:
                 return
 
 
-def pair_chunk_for(h: int, w: int, budget_pixels: int = 64 << 20) -> int:
+def pair_chunk_for(h: int, w: int, budget_pixels: int = 64 << 20,
+                   cap: int = 128) -> int:
     """Frame pairs per device dispatch, bounded by an HBM pixel budget
     (~64M pixels keeps the 5-channel f32 fields of both frames plus
     intermediates well under a v5e's 16 GB at any resolution)."""
-    return max(1, min(32, budget_pixels // (h * w)))
+    return max(1, min(cap, budget_pixels // (h * w)))
 
 
 class DeviceStager:

@@ -86,12 +86,17 @@ class TestExtractorGolden:
         _, our_root, videoids = corpora
         vid = videoids[0]
         csv = os.path.join(our_root, vid, "opticalflow", vid + ".csv")
-        mtime = os.path.getmtime(csv)
         from optical_flow_tpu.cli.optical_flow import main
+        if not os.path.isfile(csv):       # self-sufficient: first run
+            main([our_root, vid])
+        with open(csv) as f:
+            content = f.read()
+        mtime = os.path.getmtime(csv)
         main([our_root, vid])                       # .done matches: skip
         assert os.path.getmtime(csv) == mtime
         main([our_root, vid, "--force_run", "True"])  # string override
-        assert os.path.getmtime(csv) >= mtime
+        with open(csv) as f:
+            assert f.read() == content    # deterministic recompute
 
 
 class TestVisualizerGolden:
