@@ -77,10 +77,19 @@ def hsv2bgr_u8(hsv):
     tab1 = v * (one - s)
     tab2 = v * _fma(-s, hfrac, one)
     tab3 = v * _fma(-s, one - hfrac, one)
-    tabs = jnp.stack([tab0, tab1, tab2, tab3], axis=-1)
+    tabs = (tab0, tab1, tab2, tab3)
 
+    # select the (b, g, r) entries per sector with elementwise selects
+    # (a gather over a minor dim of 3/4 pads 42x on TPU tiling and OOMs
+    # at 1080p batches — measured the hard way)
     sector = jnp.clip(sector, 0, 5)
-    sd = jnp.asarray(_SECTOR_DATA)[sector]            # (..., 3)
-    bgr = jnp.take_along_axis(tabs, sd, axis=-1)      # (..., 3)
+
+    def pick(channel: int):
+        out = tabs[_SECTOR_DATA[5][channel]]
+        for k in range(4, -1, -1):
+            out = jnp.where(sector == k, tabs[_SECTOR_DATA[k][channel]], out)
+        return out
+
+    bgr = jnp.stack([pick(0), pick(1), pick(2)], axis=-1)
     # C-cast truncation, not rounding (cv2 vectorized path).
     return jnp.clip(jnp.floor(bgr * jnp.float32(255.0)), 0, 255).astype(jnp.uint8)

@@ -40,8 +40,8 @@ class TestPrefetcher:
 class TestChunkSizing:
     def test_resolution_scaling(self):
         assert pair_chunk_for(72, 129) == 128         # capped
-        assert pair_chunk_for(1080, 1920) == 32
-        assert 4 <= pair_chunk_for(2160, 3840) <= 8   # 4K bounded
+        assert pair_chunk_for(1080, 1920) == 16
+        assert 2 <= pair_chunk_for(2160, 3840) <= 8   # 4K bounded
         assert pair_chunk_for(100000, 100000) == 1    # floor
 
 
