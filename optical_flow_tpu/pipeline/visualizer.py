@@ -80,24 +80,49 @@ def visualize_shot(v_path: str, images_path: str, start_ms: int, end_ms: int,
     written = 0
     pend = []           # pair indices awaiting dispatch
 
-    def flush(pend):
+    inflight = []          # (pend, device flow image) awaiting download
+
+    def drain():
         nonlocal written
+        while inflight:
+            dpend, dev = inflight.pop(0)
+            with metrics.stage("download"):
+                flow_bgr = np.asarray(dev)
+            with metrics.stage("encode"):
+                for j, i in enumerate(dpend):
+                    ms = int(stamps[i] / fps * 1000)
+                    encodes.append(pool.submit(
+                        write_jpeg_bgr,
+                        os.path.join(images_path, f"flow_{ms}.jpeg"),
+                        flow_bgr[j], config.jpeg_quality))
+                    written += 1
+
+    def flush(pend):
         with metrics.stage("flow"):
             prev = jnp.stack([gray[i - 1] for i in pend])
             nxt = jnp.stack([gray[i] for i in pend])
             flow = calc_flow_batched(prev, nxt, config.farneback)
-            flow_bgr = np.asarray(flow_to_bgr_u8(flow))
+            dev = flow_to_bgr_u8(flow)         # async device dispatch
         metrics.add("frame_pairs", len(pend))
+        for i in pend:
+            gray[i - 1] = None     # frame pairs are consecutive; i-1 done
+        inflight.append((list(pend), dev))
+        if len(inflight) > 1:
+            drain_one()
+
+    def drain_one():
+        nonlocal written
+        dpend, dev = inflight.pop(0)
+        with metrics.stage("download"):
+            flow_bgr = np.asarray(dev)
         with metrics.stage("encode"):
-            for j, i in enumerate(pend):
+            for j, i in enumerate(dpend):
                 ms = int(stamps[i] / fps * 1000)
                 encodes.append(pool.submit(
                     write_jpeg_bgr,
                     os.path.join(images_path, f"flow_{ms}.jpeg"),
                     flow_bgr[j], config.jpeg_quality))
                 written += 1
-            for i in pend:
-                gray[i - 1] = None     # frame pairs are consecutive; i-1 done
 
     with metrics.stage("stream"):
         for pos, frame in prefetch:
@@ -119,6 +144,7 @@ def visualize_shot(v_path: str, images_path: str, start_ms: int, end_ms: int,
                     pend = []
         if pend:
             flush(pend)
+        drain()
         for f in encodes:
             f.result()                  # surface encode errors
         pool.shutdown()
