@@ -174,10 +174,48 @@ class TestVariants:
         e = epe(calc_flow(f1, f2, cfg), cv_flow(f1, f2, cfg))
         assert e.mean() < 0.3, f"poly {poly_n}/{poly_sigma} mean EPE {e.mean()}"
 
-    def test_pyr_scale_08(self):
-        f1, f2 = smooth_texture_pair(100, 100, (1, 1))
-        cfg = FarnebackConfig(pyr_scale=0.8, levels=4)
-        e = epe(calc_flow(f1, f2, cfg), cv_flow(f1, f2, cfg))
-        # 5 pyramid scales on a 100px frame: cv2's trailing-edge anomaly
-        # accumulates once per level — still inside the 0.5 EPE north star
-        assert e.mean() < 0.5, f"pyr_scale=0.8 mean EPE {e.mean()}"
+    def test_pyr_scale_honored(self):
+        # cv2 5.0 IGNORES pyr_scale (verified: outputs near-identical for
+        # 0.25..0.9 — see docs/PARITY.md); we follow the documented classic
+        # semantics of the reference's pinned OpenCV 4.2.  So for non-0.5
+        # scales we assert our own self-consistency properties instead of
+        # cv2 equality: the parameter must actually change the pyramid,
+        # and accuracy against ground truth must hold.
+        f1, f2 = smooth_texture_pair(240, 320, (2, 2))
+        a = np.asarray(calc_flow(f1, f2, FarnebackConfig(pyr_scale=0.75,
+                                                         levels=3)))
+        b = np.asarray(calc_flow(f1, f2, FarnebackConfig(pyr_scale=0.5,
+                                                         levels=3)))
+        assert np.abs(a - b).max() > 1e-3     # parameter has an effect
+        med = np.median(a[40:-40, 40:-40], axis=(0, 1))
+        # the classic algorithm's sigma formula barely smooths at
+        # pyr_scale=0.75 ((1/0.75-1)/2 = 1/6), so its coarse levels alias
+        # and bias the estimate — intrinsic to the documented semantics
+        # (the numpy spec oracle reproduces it identically)
+        np.testing.assert_allclose(med, [-2.0, -2.0], atol=0.5)
+
+
+class TestRandomizedProperty:
+    def test_random_configs_hold_epe_gate(self):
+        """Bounded fuzz: random (size, shift, params) combinations must all
+        stay inside the EPE gate vs cv2.  Catches config-space regressions
+        the fixed sweeps miss."""
+        rng = np.random.default_rng(20260816)
+        for trial in range(4):
+            h = int(rng.integers(40, 200))
+            w = int(rng.integers(40, 260))
+            shift = (int(rng.integers(0, 3)), int(rng.integers(0, 3)))
+            # pyr_scale fixed at 0.5: cv2 5.0 ignores the parameter, so
+            # cv2 comparisons are only meaningful there (docs/PARITY.md)
+            cfg = FarnebackConfig(
+                pyr_scale=0.5,
+                levels=int(rng.integers(1, 4)),
+                winsize=int(rng.choice([7, 11, 15, 19])),
+                iterations=int(rng.integers(1, 4)),
+                poly_n=int(rng.choice([5, 7])),
+                poly_sigma=float(rng.choice([1.1, 1.2, 1.5])),
+            )
+            f1, f2 = smooth_texture_pair(h, w, shift, seed=trial)
+            e = epe(calc_flow(f1, f2, cfg), cv_flow(f1, f2, cfg))
+            assert e.mean() < 0.5, (
+                f"trial {trial}: h={h} w={w} cfg={cfg} mean EPE {e.mean()}")
