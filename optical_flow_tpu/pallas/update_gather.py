@@ -136,11 +136,12 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
                 # accumulate in registers; fbuf is read/written once per
                 # subtile instead of once per candidate
                 if seed_fbuf:
-                    acc = [fbuf[c, :, sl] for c in range(5)]
+                    acc = tuple(fbuf[c, :, sl] for c in range(5))
                 else:
-                    acc = [jnp.zeros((TILE_H, TILE_W), jnp.float32)
-                           for _ in range(5)]
-                for kv in range(vmax):    # static unroll: no loop machinery
+                    acc = tuple(jnp.zeros((TILE_H, TILE_W), jnp.float32)
+                                for _ in range(5))
+
+                def kv_body(kv, acc):
                     v = v_lo + kv
                     v8 = pl.multiple_of(
                         jnp.clip((v // 8) * 8, 0, WIN_H - 16), 8)
@@ -149,11 +150,23 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
                         t = jnp.minimum(t_lo + kt, n_sub - 1)
                         sel = cov & (relj == v) & (xtj == t)
                         off = pl.multiple_of(t * TILE_W, TILE_W)
+                        new = []
                         for c in range(5):
                             blk16 = load(c, v8, off)
                             diag = pltpu.roll(blk16, -sh, 0)[:TILE_H]
                             vals = jnp.take_along_axis(diag, lnj, axis=1)
-                            acc[c] = jnp.where(sel, vals, acc[c])
+                            new.append(jnp.where(sel, vals, acc[c]))
+                        acc = tuple(new)
+                    return acc
+
+                if gated:
+                    # cold path (spilled subtiles only): a fori keeps the
+                    # compiled body ~12x smaller at no hot-path cost
+                    acc = jax.lax.fori_loop(0, vmax, kv_body, acc)
+                else:
+                    # hot path: static unroll, no loop machinery
+                    for kv in range(vmax):
+                        acc = kv_body(kv, acc)
                 for c in range(5):
                     fbuf[c, :, sl] = acc[c]
 
