@@ -75,6 +75,17 @@ def _pick_blur_solve_fn(h: int, w: int, winsize: int, gaussian: bool):
     return None
 
 
+def _pick_fused_update_flow(h: int, w: int, winsize: int):
+    """Fused store-layout iterate loop (update + blur chained with zero
+    XLA-side relayout copies) when both kernels qualify."""
+    if _on_tpu() and min(h, w) >= 64:
+        from optical_flow_tpu.pallas.fused_iterate import (
+            supported, update_flow_fused)
+        if supported(h, w, winsize):
+            return update_flow_fused
+    return None
+
+
 def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
                   initial_flow=None):
     """Run the full coarse-to-fine schedule on (B, H, W) f32 frame batches.
@@ -110,6 +121,12 @@ def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
             flow = resize_bilinear_f32(flow, lv.width, lv.height)
             flow = flow * jnp.float32(1.0 / cfg.pyr_scale)
 
+        fused_fn = (_pick_fused_update_flow(lv.height, lv.width, cfg.winsize)
+                    if use_pallas else None)
+        if fused_fn is not None:
+            flow = fused_fn(R0, R1, flow, cfg.winsize, cfg.iterations,
+                            gaussian=cfg.gaussian_window)
+            continue
         update_fn = (_pick_update_fn(lv.height, lv.width)
                      if use_pallas else core.update_matrices)
         blur_solve_fn = (_pick_blur_solve_fn(lv.height, lv.width,

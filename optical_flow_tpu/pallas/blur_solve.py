@@ -3,10 +3,19 @@
 The iterate step blurs the 5-channel M field with a winsize x winsize box
 (replicate borders) and solves a regularized 2x2 system per pixel.  In XLA
 this costs ~20 ms per 1080p x8 batch per iteration (separable passes each
-round-trip HBM).  Here the M field is replicate-padded once at XLA level,
-then one kernel pass per 8-row band does both separable sums in VMEM with
-static shifted slices and writes flow directly: ~3x less HBM traffic and
-no intermediate fields.
+round-trip HBM).  One kernel pass per 16-row band does both separable sums
+in VMEM with static shifted slices and writes flow directly: ~3x less HBM
+traffic and no intermediate fields.
+
+Two entry points share the kernel body:
+
+  * update_flow_blur_solve_pallas — standalone: M is replicate-padded at
+    XLA level, flow comes back unpadded.
+  * blur_solve_store — fused-loop variant (pallas/fused_iterate.py): M
+    arrives in the shared 'store' layout with its replicate halos already
+    inside the array (written by the update kernel), and flow is emitted
+    in the same layout, so the iterate loop chains with zero XLA-side
+    pad/slice copies (~17 ms/iteration at 1080p x16 on v5e).
 
 Supports the Gaussian window variant (OPTFLOW_FARNEBACK_GAUSSIAN) with
 weighted taps.  Semantics identical to core.box_sum_replicate + solve_flow
@@ -30,6 +39,81 @@ TILE_H = 16
 
 def _ceil(a: int, m: int) -> int:
     return ((a + m - 1) // m) * m
+
+
+def _factor(n: int):
+    # factored box sums: with 2m+1 = a*b, first compute the a-tap partial
+    # sums once (shared across output positions), then b strided adds —
+    # a+b-2 adds per element instead of 2m
+    for a in (5, 4, 3):
+        if n % a == 0 and n // a > 1:
+            return a, n // a
+    return None
+
+
+def _box_v(arr, out_rows, *, m, pad, taps, fac):
+    # vertical taps j=0..2m at row offset pad-m+j (+r per output row)
+    if fac is None:
+        acc = None
+        for k in range(2 * m + 1):
+            t = arr[pad - m + k: pad - m + k + out_rows, :]
+            t = t if taps is None else t * jnp.float32(taps[k])
+            acc = t if acc is None else acc + t
+        return acc
+    a, b = fac
+    ext = out_rows + (b - 1) * a
+    sa = None
+    for i in range(a):
+        t = arr[pad - m + i: pad - m + i + ext, :]
+        sa = t if sa is None else sa + t
+    acc = None
+    for j in range(b):
+        t = sa[j * a: j * a + out_rows, :]
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def _box_h(arr, out_cols, *, m, pad, taps, fac):
+    if fac is None:
+        acc = None
+        for k in range(2 * m + 1):
+            t = arr[:, pad - m + k: pad - m + k + out_cols]
+            t = t if taps is None else t * jnp.float32(taps[k])
+            acc = t if acc is None else acc + t
+        return acc
+    a, b = fac
+    ext = out_cols + (b - 1) * a
+    sa = None
+    for i in range(a):
+        t = arr[:, pad - m + i: pad - m + i + ext]
+        sa = t if sa is None else sa + t
+    acc = None
+    for j in range(b):
+        t = sa[:, j * a: j * a + out_cols]
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def _blur_solve_body(window, flow_ref, *, m, pad, out_w, col0, inv_area,
+                     taps, fac):
+    """Shared band body: window (5, rows, >=out_w+2*pad) -> flow band
+    written at column offset col0 (chunked so temporaries fit VMEM)."""
+    XCHUNK = min(out_w, 1024)
+    for x0 in range(0, out_w, XCHUNK):
+        cw = min(XCHUNK, out_w - x0)
+        outs = []
+        for c in range(5):
+            wc = window[c, :, x0: x0 + cw + 2 * pad]   # (rows, cw+2pad)
+            v = _box_v(wc, TILE_H, m=m, pad=pad, taps=taps, fac=fac)
+            hsum = _box_h(v, cw, m=m, pad=pad, taps=taps, fac=fac)
+            outs.append(hsum * jnp.float32(inv_area))
+
+        g11, g12, g22, h1, h2 = outs
+        idet = 1.0 / (g11 * g22 - g12 * g12 + jnp.float32(1e-3))
+        flow_ref[0, 0, :, col0 + x0: col0 + x0 + cw] = (g11 * h2
+                                                        - g12 * h1) * idet
+        flow_ref[0, 1, :, col0 + x0: col0 + x0 + cw] = (g22 * h1
+                                                        - g12 * h2) * idet
 
 
 def _kernel(mp_hbm, flow_ref, win, sem, *, m: int, pad: int, wp: int,
@@ -58,73 +142,9 @@ def _kernel(mp_hbm, flow_ref, win, sem, *, m: int, pad: int, wp: int,
 
     dma(slot, gi).wait()
 
-    # chunk the width so body temporaries stay within VMEM at 4K+
-    out_w = wp - 2 * pad
-    XCHUNK = min(out_w, 1024)
-    # factored box sums: with 2m+1 = a*b, first compute the a-tap partial
-    # sums once (shared across output positions), then b strided adds —
-    # a+b-2 adds per element instead of 2m
-    def factor(n):
-        for a in (5, 4, 3):
-            if n % a == 0 and n // a > 1:
-                return a, n // a
-        return None
-    fac = None if taps is not None else factor(2 * m + 1)
-
-    def box_v(arr, out_rows):
-        # vertical taps j=0..2m at row offset pad-m+j (+r per output row)
-        if fac is None:
-            acc = None
-            for k in range(2 * m + 1):
-                t = arr[pad - m + k: pad - m + k + out_rows, :]
-                t = t if taps is None else t * jnp.float32(taps[k])
-                acc = t if acc is None else acc + t
-            return acc
-        a, b = fac
-        ext = out_rows + (b - 1) * a
-        sa = None
-        for i in range(a):
-            t = arr[pad - m + i: pad - m + i + ext, :]
-            sa = t if sa is None else sa + t
-        acc = None
-        for j in range(b):
-            t = sa[j * a: j * a + out_rows, :]
-            acc = t if acc is None else acc + t
-        return acc
-
-    def box_h(arr, out_cols):
-        if fac is None:
-            acc = None
-            for k in range(2 * m + 1):
-                t = arr[:, pad - m + k: pad - m + k + out_cols]
-                t = t if taps is None else t * jnp.float32(taps[k])
-                acc = t if acc is None else acc + t
-            return acc
-        a, b = fac
-        ext = out_cols + (b - 1) * a
-        sa = None
-        for i in range(a):
-            t = arr[:, pad - m + i: pad - m + i + ext]
-            sa = t if sa is None else sa + t
-        acc = None
-        for j in range(b):
-            t = sa[:, j * a: j * a + out_cols]
-            acc = t if acc is None else acc + t
-        return acc
-
-    for x0 in range(0, out_w, XCHUNK):
-        cw = min(XCHUNK, out_w - x0)
-        outs = []
-        for c in range(5):
-            wc = win[slot, c, :, x0: x0 + cw + 2 * pad]   # (rows, cw+2pad)
-            v = box_v(wc, TILE_H)
-            hsum = box_h(v, cw)
-            outs.append(hsum * jnp.float32(inv_area))
-
-        g11, g12, g22, h1, h2 = outs
-        idet = 1.0 / (g11 * g22 - g12 * g12 + jnp.float32(1e-3))
-        flow_ref[0, 0, :, x0: x0 + cw] = (g11 * h2 - g12 * h1) * idet
-        flow_ref[0, 1, :, x0: x0 + cw] = (g22 * h1 - g12 * h2) * idet
+    fac = None if taps is not None else _factor(2 * m + 1)
+    _blur_solve_body(win[slot], flow_ref, m=m, pad=pad, out_w=wp - 2 * pad,
+                     col0=0, inv_area=inv_area, taps=taps, fac=fac)
 
 
 def _omap(n_bands):
@@ -176,3 +196,105 @@ def update_flow_blur_solve_pallas(M, winsize: int, gaussian: bool = False):
     Mp = jnp.pad(Mp, [(0, 0), (0, 0), (0, hp - H), (0, wp - (W + 2 * pad))])
     flow = kernel(Mp)
     return flow[:, :, :H, :W]
+
+
+# ---------------------------------------------------------------------------
+# store-layout variant (fused iterate loop)
+
+_PAD_S = 8   # halo depth baked into the store layout (requires m <= 8)
+
+
+def _kernel_store(mst_hbm, flow_ref, win, sem, *, m: int, Ws: int,
+                  n_bands: int, inv_area: float, taps):
+    """Bands are the 16-row groups of the store layout.  Band b's outputs
+    (store rows [16b, 16b+16), i.e. logical rows [16b-16, 16b)) tap store
+    rows [16b-7+rr .. 16b+7+rr), all inside the window anchored at
+    16b - 8 — so the tap arithmetic is identical to _kernel's, with the
+    store row shift (ROW_OFF=16) playing the role of the replicate pad.
+    Bands 0 and n_bands-1 are pure halo: written as zeros."""
+    gi = pl.program_id(0)
+    n_total = pl.num_programs(0)
+    Hs = mst_hbm.shape[2]
+    rows = 2 * _PAD_S + TILE_H
+
+    def dma(slot, step):
+        b = step // n_bands
+        i = step % n_bands
+        a = jnp.clip(i * TILE_H - _PAD_S, 0, Hs - rows)
+        return pltpu.make_async_copy(
+            mst_hbm.at[b, :, pl.ds(pl.multiple_of(a, 8), rows), :],
+            win.at[slot], sem.at[slot])
+
+    slot = jax.lax.rem(gi, 2)
+    nslot = jax.lax.rem(gi + 1, 2)
+
+    @pl.when(gi == 0)
+    def _():
+        dma(slot, gi).start()
+
+    @pl.when(gi + 1 < n_total)
+    def _():
+        dma(nslot, gi + 1).start()
+
+    dma(slot, gi).wait()
+
+    i = gi % n_bands
+    is_halo = (i == 0) | (i == n_bands - 1)
+
+    @pl.when(is_halo)
+    def _():
+        flow_ref[0, 0] = jnp.zeros((TILE_H, Ws), jnp.float32)
+        flow_ref[0, 1] = jnp.zeros((TILE_H, Ws), jnp.float32)
+
+    @pl.when(jnp.logical_not(is_halo))
+    def _():
+        # column halos of the flow output: don't-care, kept finite (zero)
+        flow_ref[0, 0, :, :_PAD_S] = jnp.zeros((TILE_H, _PAD_S), jnp.float32)
+        flow_ref[0, 1, :, :_PAD_S] = jnp.zeros((TILE_H, _PAD_S), jnp.float32)
+        flow_ref[0, 0, :, Ws - _PAD_S:] = jnp.zeros((TILE_H, _PAD_S),
+                                                    jnp.float32)
+        flow_ref[0, 1, :, Ws - _PAD_S:] = jnp.zeros((TILE_H, _PAD_S),
+                                                    jnp.float32)
+        fac = None if taps is not None else _factor(2 * m + 1)
+        _blur_solve_body(win[slot], flow_ref, m=m, pad=_PAD_S,
+                         out_w=Ws - 2 * _PAD_S, col0=_PAD_S,
+                         inv_area=inv_area, taps=taps, fac=fac)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_store(batch: int, Hs: int, Ws: int, winsize: int, gaussian: bool):
+    m = winsize // 2
+    if m > _PAD_S:
+        raise ValueError(f"store layout supports winsize <= {2*_PAD_S+1}")
+    rows = 2 * _PAD_S + TILE_H
+
+    if gaussian:
+        taps = tuple(float(t) for t in gaussian_window_kernel(winsize))
+        inv_area = 1.0
+    else:
+        taps = None
+        inv_area = 1.0 / (winsize * winsize)
+
+    n_bands = Hs // TILE_H
+    kernel = pl.pallas_call(
+        functools.partial(_kernel_store, m=m, Ws=Ws, n_bands=n_bands,
+                          inv_area=inv_area, taps=taps),
+        grid=(batch * n_bands,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],   # M store (HBM)
+        out_specs=pl.BlockSpec((1, 2, TILE_H, Ws), _omap(n_bands),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, 2, Hs, Ws), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 5, rows, Ws), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return kernel
+
+
+def blur_solve_store(Mst, winsize: int, gaussian: bool = False):
+    """Fused blur+solve on store-layout M: (B, 5, Hs, Ws) -> flow
+    (B, 2, Hs, Ws) in the same layout.  M must carry valid replicate
+    halos (update_matrices_store provides them); no XLA-side copies."""
+    B, _, Hs, Ws = Mst.shape
+    return _build_store(B, Hs, Ws, winsize, gaussian)(Mst)

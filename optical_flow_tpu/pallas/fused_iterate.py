@@ -1,0 +1,80 @@
+"""Fused padded-layout Farnebäck iterate loop (update -> blur+solve).
+
+The standalone kernel wrappers (update_matrices_pallas_batched,
+update_flow_blur_solve_pallas) pad and slice their operands at XLA level on
+every call; at 1080p x16 those relayout copies measure ~17 ms per iteration
+on v5e — as much as the blur kernel itself.  This driver keeps all loop
+state in one shared "store" layout for the whole iterations loop, so the
+two kernels chain with zero XLA-side relayout copies:
+
+    store row = logical row + ROW_OFF (16)
+    store col = logical col + COL_OFF (8)
+    Hs = ceil(h, 16) + 32        (16-row top halo band + >=16 bottom rows)
+    Ws = ceil(w + 16, 128)       (8-col halos, lane-aligned)
+
+The 8-deep replicate halo that the blur kernel's border taps need is
+maintained inside the M array itself: the update kernel writes the column
+halos in-register, and two 8-row in-place copies refresh the top/bottom
+row halos (their replicate source rows live in other grid bands, which a
+band-parallel kernel cannot read).  Flow halos hold finite don't-care
+values; the update kernel masks them out of `inside` via its own-coordinate
+bounds, and sc == 0 outside the real region zeroes their M contribution.
+
+Semantics are identical to core.update_flow (OpenCV's per-level iterate
+loop: FarnebackUpdateMatrices + FarnebackUpdateFlow_Blur in
+modules/video/src/optflowgf.cpp — the loop behind the frozen-parameter
+calls at reference optical_flow.py:51-59 / visualize_optical_flow.py:38-46);
+exactness is preserved through the update kernel's three-tier spill
+handling.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from optical_flow_tpu.models.farneback.core import border_scale_field
+from optical_flow_tpu.pallas.blur_solve import _PAD_S, blur_solve_store
+from optical_flow_tpu.pallas.update_gather import (
+    COL_OFF,
+    ROW_OFF,
+    supported_shape,
+    update_matrices_store,
+)
+
+
+def _ceil(a: int, m: int) -> int:
+    return ((a + m - 1) // m) * m
+
+
+def supported(h: int, w: int, winsize: int) -> bool:
+    """True if the fused loop handles this level (both kernels eligible
+    and the box half-width fits the baked-in 8-deep store halo)."""
+    return 3 <= winsize <= 2 * _PAD_S + 1 and supported_shape(h, w)
+
+
+@functools.lru_cache(maxsize=64)
+def _scp_host(h: int, w: int, Hs: int, Ws: int):
+    return np.pad(border_scale_field(h, w),
+                  [(ROW_OFF, Hs - ROW_OFF - h), (COL_OFF, Ws - COL_OFF - w)])
+
+
+def update_flow_fused(R0, R1, flow, winsize: int, iterations: int,
+                      gaussian: bool = False):
+    """Drop-in for core.update_flow on (B, 5/2, h, w) operands: shift into
+    the store layout once, run the iterate loop copy-free, slice once."""
+    B, _, h, w = R0.shape
+    Hs = _ceil(h, 16) + 32
+    Ws = _ceil(w + 2 * COL_OFF, 128)
+    pad = [(0, 0), (0, 0), (ROW_OFF, Hs - ROW_OFF - h),
+           (COL_OFF, Ws - COL_OFF - w)]
+    R0p = jnp.pad(R0, pad)
+    R1p = jnp.pad(R1, pad)
+    flowp = jnp.pad(flow, pad)
+    scp = jnp.asarray(_scp_host(h, w, Hs, Ws))
+    for _ in range(iterations):
+        Mst = update_matrices_store(R0p, R1p, flowp, scp, h, w)
+        flowp = blur_solve_store(Mst, winsize, gaussian)
+    return flowp[:, :, ROW_OFF:ROW_OFF + h, COL_OFF:COL_OFF + w]

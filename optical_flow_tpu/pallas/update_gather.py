@@ -46,10 +46,17 @@ V2_MAX = 12         # pass-2 candidates (motion-boundary ramps), gated
 T_MAX = 2           # static 128-lane-tile candidates per subtile
 VIOL_MAX = 16384    # max spilled pixels fixed by the XLA correction
 
+# fused-loop 'store' layout offsets (see pallas/fused_iterate.py): arrays
+# are shifted so the blur kernel's replicate halo lives inside the array
+ROW_OFF = 16
+COL_OFF = 8
+
 
 def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
                    m_ref, viol_ref, win, win2, fbuf, sem, sem2, *,
-                   h_real: int, w_real: int, n_bands: int, n_slots: int):
+                   h_real: int, w_real: int, n_bands: int, n_slots: int,
+                   row_off: int = 0, col_off: int = 0,
+                   tile_h: int = TILE_H):
     """Grid: (B * H/TILE_H,) row bands.  Each step processes an (TILE_H, W)
     band of one batch element: one dynamic-window DMA (5, WIN_H, W)
     anchored at the band's minimum fetched row (precomputed at XLA level
@@ -92,89 +99,105 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
     dx = flow_ref[0, 0]
     dy = flow_ref[0, 1]
     Wp = n_sub * TILE_W
-    ys = (i * TILE_H
-          + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, Wp), 0)
+    ys = (i * tile_h - row_off
+          + jax.lax.broadcasted_iota(jnp.int32, (tile_h, Wp), 0)
           ).astype(jnp.float32)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, Wp), 1).astype(
-        jnp.float32)
+    xs = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, Wp), 1) - col_off
+          ).astype(jnp.float32)
     x1 = jnp.round(xs + dx)
     y1 = jnp.round(ys + dy)
-    inside = (x1 >= 0) & (x1 <= W - 1) & (y1 >= 0) & (y1 <= H - 1)
-    xi = jnp.clip(x1, 0, W - 1).astype(jnp.int32)
-    yi = jnp.clip(y1, 0, H - 1).astype(jnp.int32)
+    # halo/pad pixels (own coords outside the real image) never fetch —
+    # they take the R0 fallback (and are zeroed by sc == 0 there anyway)
+    inside = ((x1 >= 0) & (x1 <= W - 1) & (y1 >= 0) & (y1 <= H - 1)
+              & (xs >= 0) & (xs <= W - 1) & (ys >= 0) & (ys <= H - 1))
+    # fetch coordinates in the storage layout
+    xi = jnp.clip(x1, 0, W - 1).astype(jnp.int32) + col_off
+    yi = jnp.clip(y1, 0, H - 1).astype(jnp.int32) + row_off
 
-    row_in_band = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, Wp), 0)
+    row_in_band = jax.lax.broadcasted_iota(jnp.int32, (tile_h, Wp), 0)
     xt = xi // TILE_W
     lane = xi % TILE_W
 
     def fetch_pass(load, sy, active, gated=False, vmax=V_MAX):
-        """One candidate-block pass over all subtiles.
+        """One candidate-block pass over all (8, 128) subtiles.
 
         `load(c, v8, off)` returns a (16, TILE_W) window block.  Writes
         fetched values for covered pixels of `active` into fbuf and
-        returns the combined covered mask (TILE_H, Wp).  gated=True skips
-        subtiles with no active pixels (second-chance pass: most subtiles
-        of a spilled band are clean)."""
+        returns the combined covered mask (tile_h, Wp).  Candidates stay
+        per-(8, 128)-subtile even when the band is taller (tile_h == 16
+        in the fused loop) so the per-subtile spread budget is unchanged.
+        gated=True skips subtiles with no active pixels (second-chance
+        pass: most subtiles of a spilled band are clean)."""
         lr = yi - sy
         in_w = (lr >= 0) & (lr < WIN_H)
         act = active & in_w
         rel = lr - row_in_band
-        covered_all = []
-        for j in range(n_sub):
-            sl = slice(j * TILE_W, (j + 1) * TILE_W)
-            aj = act[:, sl]
-            relj = rel[:, sl]
-            xtj = xt[:, sl]
-            lnj = lane[:, sl]
-            v_lo = jnp.min(jnp.where(aj, relj, WIN_H))
-            t_lo = jnp.min(jnp.where(aj, xtj, n_sub - 1))
-            cov = (aj & (relj < v_lo + vmax) & (xtj < t_lo + T_MAX))
-            covered_all.append(cov)
+        covered_rows = []
+        for rg in range(tile_h // 8):
+            rsl = slice(rg * 8, rg * 8 + 8)
+            covered_cols = []
+            for j in range(n_sub):
+                sl = slice(j * TILE_W, (j + 1) * TILE_W)
+                aj = act[rsl, sl]
+                relj = rel[rsl, sl]
+                xtj = xt[rsl, sl]
+                lnj = lane[rsl, sl]
+                v_lo = jnp.min(jnp.where(aj, relj, WIN_H))
+                t_lo = jnp.min(jnp.where(aj, xtj, n_sub - 1))
+                cov = (aj & (relj < v_lo + vmax) & (xtj < t_lo + T_MAX))
+                covered_cols.append(cov)
 
-            def subtile_work(v_lo=v_lo, t_lo=t_lo, cov=cov, relj=relj,
-                             xtj=xtj, lnj=lnj, sl=sl, seed_fbuf=gated):
-                # accumulate in registers; fbuf is read/written once per
-                # subtile instead of once per candidate
-                if seed_fbuf:
-                    acc = tuple(fbuf[c, :, sl] for c in range(5))
-                else:
-                    acc = tuple(jnp.zeros((TILE_H, TILE_W), jnp.float32)
-                                for _ in range(5))
+                def subtile_work(v_lo=v_lo, t_lo=t_lo, cov=cov, relj=relj,
+                                 xtj=xtj, lnj=lnj, rsl=rsl, sl=sl, rg=rg,
+                                 seed_fbuf=gated):
+                    # accumulate in registers; fbuf is read/written once
+                    # per subtile instead of once per candidate
+                    if seed_fbuf:
+                        acc = tuple(fbuf[c, rsl, sl] for c in range(5))
+                    else:
+                        acc = tuple(jnp.zeros((8, TILE_W), jnp.float32)
+                                    for _ in range(5))
 
-                def kv_body(kv, acc):
-                    v = v_lo + kv
-                    v8 = pl.multiple_of(
-                        jnp.clip((v // 8) * 8, 0, WIN_H - 16), 8)
-                    sh = v - v8
-                    for kt in range(T_MAX):
-                        t = jnp.minimum(t_lo + kt, n_sub - 1)
-                        sel = cov & (relj == v) & (xtj == t)
-                        off = pl.multiple_of(t * TILE_W, TILE_W)
-                        new = []
-                        for c in range(5):
-                            blk16 = load(c, v8, off)
-                            diag = pltpu.roll(blk16, -sh, 0)[:TILE_H]
-                            vals = jnp.take_along_axis(diag, lnj, axis=1)
-                            new.append(jnp.where(sel, vals, acc[c]))
-                        acc = tuple(new)
-                    return acc
+                    def kv_body(kv, acc):
+                        # candidate v is relative to the band-local row;
+                        # this subtile's rows sit 8*rg below the band top
+                        vv = v_lo + kv + 8 * rg
+                        v8 = pl.multiple_of(
+                            jnp.clip((vv // 8) * 8, 0, WIN_H - 16), 8)
+                        sh = vv - v8
+                        for kt in range(T_MAX):
+                            t = jnp.minimum(t_lo + kt, n_sub - 1)
+                            sel = cov & (relj == v_lo + kv) & (xtj == t)
+                            off = pl.multiple_of(t * TILE_W, TILE_W)
+                            new = []
+                            for c in range(5):
+                                blk16 = load(c, v8, off)
+                                diag = pltpu.roll(blk16, -sh, 0)[:8]
+                                vals = jnp.take_along_axis(diag, lnj,
+                                                           axis=1)
+                                new.append(jnp.where(sel, vals, acc[c]))
+                            acc = tuple(new)
+                        return acc
+
+                    if gated:
+                        # cold path (spilled subtiles only): a fori keeps
+                        # the compiled body ~12x smaller at no hot-path
+                        # cost
+                        acc = jax.lax.fori_loop(0, vmax, kv_body, acc)
+                    else:
+                        # hot path: static unroll, no loop machinery
+                        for kv in range(vmax):
+                            acc = kv_body(kv, acc)
+                    for c in range(5):
+                        fbuf[c, rsl, sl] = acc[c]
 
                 if gated:
-                    # cold path (spilled subtiles only): a fori keeps the
-                    # compiled body ~12x smaller at no hot-path cost
-                    acc = jax.lax.fori_loop(0, vmax, kv_body, acc)
+                    pl.when(jnp.any(aj))(subtile_work)
                 else:
-                    # hot path: static unroll, no loop machinery
-                    for kv in range(vmax):
-                        acc = kv_body(kv, acc)
-                for c in range(5):
-                    fbuf[c, :, sl] = acc[c]
-
-            if gated:
-                pl.when(jnp.any(aj))(subtile_work)
-            else:
-                subtile_work()
-        return jnp.concatenate(covered_all, axis=-1)
+                    subtile_work()
+            covered_rows.append(jnp.concatenate(covered_cols, axis=-1))
+        return (covered_rows[0] if tile_h == 8
+                else jnp.concatenate(covered_rows, axis=0))
 
     dma(slot, gi).wait()
 
@@ -201,7 +224,7 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
 
     @pl.when(jnp.logical_not(jnp.any(spill)))
     def _():
-        viol_ref[0, 0] = jnp.zeros((TILE_H, Wp), jnp.float32)
+        viol_ref[0, 0] = jnp.zeros((tile_h, Wp), jnp.float32)
 
     fetched = jnp.stack([fbuf[c] for c in range(5)])
 
@@ -221,16 +244,29 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
     r5 = r5 * sc
     r6 = r6 * sc
 
-    m_ref[0, 0] = r4 * r4 + r6 * r6
-    m_ref[0, 1] = (r4 + r5) * r6
-    m_ref[0, 2] = r5 * r5 + r6 * r6
-    m_ref[0, 3] = r4 * r2 + r6 * r3
-    m_ref[0, 4] = r6 * r2 + r5 * r3
+    mvals = (r4 * r4 + r6 * r6,
+             (r4 + r5) * r6,
+             r5 * r5 + r6 * r6,
+             r4 * r2 + r6 * r3,
+             r6 * r2 + r5 * r3)
+    if col_off:
+        # store layout: write the column replicate halos in-register so the
+        # blur kernel's border taps read valid values with no XLA-side pad
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_h, Wp), 1)
+        left = col < col_off
+        right = col >= col_off + W
+        mvals = tuple(
+            jnp.where(left, v[:, col_off:col_off + 1],
+                      jnp.where(right, v[:, col_off + W - 1:col_off + W], v))
+            for v in mvals)
+    for c in range(5):
+        m_ref[0, c] = mvals[c]
 
 
 @functools.lru_cache(maxsize=64)
-def _build(batch: int, h: int, w: int, h_real: int, w_real: int):
-    n_bands = h // TILE_H
+def _build(batch: int, h: int, w: int, h_real: int, w_real: int,
+           row_off: int = 0, col_off: int = 0, tile_h: int = TILE_H):
+    n_bands = h // tile_h
 
     def bmap(gi, _anchors):
         return (gi // n_bands, 0, gi % n_bands, 0)
@@ -243,31 +279,32 @@ def _build(batch: int, h: int, w: int, h_real: int, w_real: int):
         num_scalar_prefetch=1,
         grid=(batch * n_bands,),
         in_specs=[
-            pl.BlockSpec((1, 5, TILE_H, w), bmap,
+            pl.BlockSpec((1, 5, tile_h, w), bmap,
                          memory_space=pltpu.VMEM),          # R0 band
-            pl.BlockSpec((1, 2, TILE_H, w), bmap,
+            pl.BlockSpec((1, 2, tile_h, w), bmap,
                          memory_space=pltpu.VMEM),          # flow band
-            pl.BlockSpec((TILE_H, w), scmap,
+            pl.BlockSpec((tile_h, w), scmap,
                          memory_space=pltpu.VMEM),          # border scale
             pl.BlockSpec(memory_space=pltpu.ANY),           # R1 full (HBM)
         ],
         out_specs=[
-            pl.BlockSpec((1, 5, TILE_H, w), bmap,
+            pl.BlockSpec((1, 5, tile_h, w), bmap,
                          memory_space=pltpu.VMEM),          # M band
-            pl.BlockSpec((1, 1, TILE_H, w), bmap,
+            pl.BlockSpec((1, 1, tile_h, w), bmap,
                          memory_space=pltpu.VMEM),          # violation mask
         ],
         scratch_shapes=[
             pltpu.VMEM((n_slots, 5, WIN_H, w), jnp.float32),
             pltpu.VMEM((5, WIN_H, w), jnp.float32),
-            pltpu.VMEM((5, TILE_H, w), jnp.float32),
+            pltpu.VMEM((5, tile_h, w), jnp.float32),
             pltpu.SemaphoreType.DMA((n_slots,)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
     kernel = pl.pallas_call(
         functools.partial(_update_kernel, h_real=h_real, w_real=w_real,
-                          n_bands=n_bands, n_slots=n_slots),
+                          n_bands=n_bands, n_slots=n_slots,
+                          row_off=row_off, col_off=col_off, tile_h=tile_h),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((batch, 5, h, w), jnp.float32),
@@ -395,3 +432,122 @@ def update_matrices_pallas(R0, R1, flow):
     """Single-frame wrapper around the batched kernel."""
     return update_matrices_pallas_batched(
         R0[None], R1[None], flow[None])[0]
+
+
+def _correct_violations_store(M, viol, R0, R1, flow, sc, *, h, w):
+    """Store-layout twin of _correct_violations (fused iterate loop).
+
+    Operands live in the shifted store layout; violating pixels are always
+    real-image pixels (the kernel masks halo pixels out of `inside`), so
+    logical coordinates are recovered by subtracting the offsets.
+    """
+    _, Hs, Ws = R0.shape
+    flat_mask = viol.reshape(-1)
+    idx = jnp.nonzero(flat_mask, size=VIOL_MAX, fill_value=0)[0]
+    valid = flat_mask[idx]
+
+    py = (idx // Ws).astype(jnp.int32) - ROW_OFF
+    px = (idx % Ws).astype(jnp.int32) - COL_OFF
+    dxv = flow[0].reshape(-1)[idx]
+    dyv = flow[1].reshape(-1)[idx]
+    x1 = jnp.round(px.astype(jnp.float32) + dxv)
+    y1 = jnp.round(py.astype(jnp.float32) + dyv)
+    xi = jnp.clip(x1, 0, w - 1).astype(jnp.int32) + COL_OFF
+    yi = jnp.clip(y1, 0, h - 1).astype(jnp.int32) + ROW_OFF
+    src = yi * Ws + xi
+
+    R1f = R1.reshape(5, -1)
+    R0f = R0.reshape(5, -1)
+    scf = sc.reshape(-1)
+    fetched = R1f[:, src]
+    r0 = R0f[:, idx]
+    r4 = (r0[2] + fetched[2]) * 0.5
+    r5 = (r0[3] + fetched[3]) * 0.5
+    r6 = (r0[4] + fetched[4]) * 0.25
+    r2 = (r0[0] - fetched[0]) * 0.5 + (r4 * dyv + r6 * dxv)
+    r3 = (r0[1] - fetched[1]) * 0.5 + (r6 * dyv + r5 * dxv)
+    s = scf[idx]
+    r2 = r2 * s
+    r3 = r3 * s
+    r4 = r4 * s
+    r5 = r5 * s
+    r6 = r6 * s
+    mvals = jnp.stack([
+        r4 * r4 + r6 * r6,
+        (r4 + r5) * r6,
+        r5 * r5 + r6 * r6,
+        r4 * r2 + r6 * r3,
+        r6 * r2 + r5 * r3,
+    ])
+
+    Mf = M.reshape(5, -1)
+    mvals = jnp.where(valid[None, :], mvals, Mf[:, idx])
+    Mf = Mf.at[:, idx].set(mvals)
+    return Mf.reshape(5, Hs, Ws)
+
+
+def _fix_col_halos(m, w):
+    m = m.at[:, :, :, :COL_OFF].set(m[:, :, :, COL_OFF:COL_OFF + 1])
+    m = m.at[:, :, :, COL_OFF + w:].set(
+        m[:, :, :, COL_OFF + w - 1:COL_OFF + w])
+    return m
+
+
+def update_matrices_store(R0p, R1p, flowp, scp, h: int, w: int):
+    """FarnebackUpdateMatrices in the fused-loop 'store' layout.
+
+    All operands are pre-shifted by (ROW_OFF, COL_OFF) with alignment halos
+    (see pallas/fused_iterate.py); sc is zero outside the real region, so
+    halo pixels produce M == 0 before the replicate-halo fixes.  Returns M
+    in store layout with valid replicate halos (column halos written by the
+    kernel; the 8-row top/bottom halos — whose replicate source rows live
+    in other grid bands — via two small in-place row copies).  Exactness
+    tiers match update_matrices_pallas_batched (bit-identical to
+    core.update_matrices on the real region).
+    """
+    B, _, Hs, Ws = R0p.shape
+    tile_h = 16                     # taller bands: half the grid steps and
+    n_bands = Hs // tile_h          # half the window-DMA overlap vs 8
+    cols = jnp.arange(Ws)
+    col_real = (cols >= COL_OFF) & (cols < COL_OFF + w)
+    ys_log = jnp.arange(Hs, dtype=jnp.float32)[None, :, None] - ROW_OFF
+    row_real = (ys_log >= 0) & (ys_log <= h - 1)
+    yi_st = jnp.clip(jnp.round(ys_log + flowp[:, 1]), 0, h - 1) + ROW_OFF
+    yi_st = jnp.where(row_real & col_real[None, None, :], yi_st,
+                      jnp.float32(h - 1 + ROW_OFF))
+    ymin = jnp.min(yi_st.reshape(B, n_bands, tile_h, Ws), axis=(2, 3))
+    anchors = jnp.clip((ymin.astype(jnp.int32) // 8) * 8, 0, Hs - WIN_H)
+    anchors = anchors.reshape(B * n_bands)
+    Mst, violp = _build(B, Hs, Ws, h, w, ROW_OFF, COL_OFF, tile_h)(
+        anchors, R0p, flowp, scp, R1p)
+    viol = violp[:, 0] > 0.5
+
+    n_viol_per = jnp.sum(viol, axis=(-2, -1))
+    n_viol = jnp.sum(n_viol_per)
+
+    def corrected(m):
+        m = jax.vmap(functools.partial(
+            _correct_violations_store, h=h, w=w))(
+                m, viol, R0p, R1p, flowp,
+                jnp.broadcast_to(scp, (B,) + scp.shape))
+        # corrections may touch edge pixels: refresh the column halos
+        return _fix_col_halos(m, w)
+
+    def full_recompute(m):
+        from optical_flow_tpu.models.farneback import core as _core
+        sl = (slice(None), slice(None), slice(ROW_OFF, ROW_OFF + h),
+              slice(COL_OFF, COL_OFF + w))
+        mr = _core.update_matrices(R0p[sl], R1p[sl], flowp[sl])
+        return _fix_col_halos(jnp.zeros_like(m).at[sl].set(mr), w)
+
+    Mst = jax.lax.cond(
+        jnp.max(n_viol_per) > VIOL_MAX,
+        full_recompute,
+        lambda m: jax.lax.cond(n_viol > 0, corrected, lambda x: x, m),
+        Mst)
+    # top/bottom replicate row halos (8 rows each — tiny in-place copies)
+    Mst = Mst.at[:, :, ROW_OFF - 8:ROW_OFF].set(
+        Mst[:, :, ROW_OFF:ROW_OFF + 1])
+    Mst = Mst.at[:, :, ROW_OFF + h:ROW_OFF + h + 8].set(
+        Mst[:, :, ROW_OFF + h - 1:ROW_OFF + h])
+    return Mst

@@ -25,10 +25,12 @@ def interpret_mode():
     import optical_flow_tpu.pallas.gauss as ga
     for m in (ug, bs, pe, ga):
         m._build.cache_clear()
+    bs._build_store.cache_clear()
     yield
     pl.pallas_call = orig
     for m in (ug, bs, pe, ga):
         m._build.cache_clear()
+    bs._build_store.cache_clear()
 
 
 class TestUpdateGatherKernel:
@@ -116,6 +118,58 @@ class TestBlurSolveKernel:
         ref = np.asarray(core.solve_flow(
             core._corr1d(core._corr1d(M, k, axis=-1), k, axis=-2), 1.0))
         np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-3)
+
+
+class TestFusedIterate:
+    """The store-layout iterate loop must match core.update_flow exactly
+    (same three-tier spill handling as the standalone update kernel)."""
+
+    def _check(self, H, W, ws=15, iters=3, gaussian=False, flow_mod=None,
+               B=2, atol=2e-3):
+        from optical_flow_tpu.pallas.fused_iterate import (
+            supported, update_flow_fused)
+        from optical_flow_tpu.models.farneback import core
+        assert supported(H, W, ws)
+        rng = np.random.default_rng(7)
+        # realistic R fields: polyexp of smooth images (keeps the 2x2
+        # systems well-conditioned like real frames do)
+        img = rng.uniform(0, 255, (2 * B, H, W)).astype(np.float32)
+        R = core.poly_exp(jnp.asarray(img), 5, 1.2)
+        R0, R1 = R[:B], R[B:]
+        flow = rng.standard_normal((B, 2, H, W)).astype(np.float32) * 1.5
+        if flow_mod is not None:
+            flow_mod(flow)
+        flow = jnp.asarray(flow)
+        out = np.asarray(update_flow_fused(R0, R1, flow, ws, iters,
+                                           gaussian=gaussian))
+        ref = np.asarray(core.update_flow(R0, R1, flow, ws, iters,
+                                          gaussian=gaussian))
+        np.testing.assert_allclose(out, ref, atol=atol, rtol=1e-3)
+
+    def test_aligned_shape(self):
+        self._check(64, 512, iters=2)
+
+    def test_unaligned_shape(self):
+        self._check(70, 257, iters=2)
+
+    def test_three_iterations(self):
+        self._check(64, 256, iters=3)
+
+    def test_gaussian_window(self):
+        self._check(64, 256, iters=2, gaussian=True)
+
+    def test_winsize_7(self):
+        self._check(64, 256, ws=7, iters=2)
+
+    def test_spill_paths(self):
+        # window escapes trigger the in-kernel second pass / correction
+        def mod(flow):
+            flow[:, 1, 30:34, 100:200] = 45.0
+        self._check(64, 512, iters=2, flow_mod=mod)
+
+    def test_unsupported_winsize_gated(self):
+        from optical_flow_tpu.pallas.fused_iterate import supported
+        assert not supported(64, 256, 21)   # halo budget is 8
 
 
 class TestGaussKernel:
