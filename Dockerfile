@@ -9,11 +9,12 @@ FROM python:3.12-slim
 
 ENV DEBIAN_FRONTEND=noninteractive
 
-# native decode/encode runtime build deps (libav + libjpeg-turbo)
+# native decode/encode runtime build deps (libav + libjpeg; libjpeg-dev
+# resolves to libjpeg62-turbo-dev on the Debian base of python:3.12-slim)
 RUN apt-get update && apt-get install -y --no-install-recommends \
         g++ make pkg-config \
         libavformat-dev libavcodec-dev libavutil-dev libswscale-dev \
-        libjpeg-turbo8-dev || apt-get install -y libjpeg62-turbo-dev \
+        libjpeg-dev \
     && rm -rf /var/lib/apt/lists/*
 
 COPY requirements.txt /opt/app/requirements.txt

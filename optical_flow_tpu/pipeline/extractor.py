@@ -45,6 +45,10 @@ from optical_flow_tpu.utils.metrics import PipelineMetrics
 
 logger = get_logger("optical_flow_tpu.extractor")
 
+# Counters of the most recent extract_video run (observability/test hook;
+# includes peak_live_frames, the HBM-residency bound).
+LAST_RUN_COUNTERS: dict = {}
+
 
 
 def _window_schedule(tot_frames: int, fps: float, step_ms: int, window_ms: int):
@@ -131,6 +135,8 @@ def extract_video(v_path: str, config: ExtractorConfig
         metrics.add("frame_pairs", len(chunk))
         pending_sums.append((chunk, sums))
 
+    evict_th = 0
+    peak_live = 0
     with metrics.stage("stream"):
         for pos, frame in prefetch:
             if frame is None:
@@ -138,6 +144,7 @@ def extract_video(v_path: str, config: ExtractorConfig
                 break
             frames[pos] = prep_one(frame)
             metrics.add("frames_decoded")
+            peak_live = max(peak_live, len(frames))
             while pending is not None and pending[0] in frames \
                     and pending[1] in frames:
                 chunk.append(pending)
@@ -145,6 +152,16 @@ def extract_video(v_path: str, config: ExtractorConfig
                 if len(chunk) >= chunk_size:
                     flush(chunk)
                     chunk = []
+            # Evict frames no later window can touch: window starts are
+            # monotone in the center (`optical_flow.py:80`), so everything
+            # below the earliest still-unflushed start is dead.  Without
+            # this, a feature-length full-res video accumulates GBs of HBM.
+            th = chunk[0][0] if chunk else (
+                pending[0] if pending is not None else pos + 1)
+            if th > evict_th:
+                for k in [k for k in frames if k < th]:
+                    del frames[k]
+                evict_th = th
         # windows not fully decoded before a failure are dropped, exactly
         # like the reference's early break
         if chunk:
@@ -169,6 +186,9 @@ def extract_video(v_path: str, config: ExtractorConfig
 
     start_ms = int(agg[0][0] / fps * 1000)
     end_ms = int(agg[-1][0] / fps * 1000)
+    metrics.counters["peak_live_frames"] = peak_live
+    LAST_RUN_COUNTERS.clear()
+    LAST_RUN_COUNTERS.update(metrics.counters)
     metrics.log_summary()
     return [a[1] for a in agg], [start_ms, end_ms]
 

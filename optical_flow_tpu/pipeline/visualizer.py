@@ -48,6 +48,12 @@ def visualize_shot(v_path: str, images_path: str, start_ms: int, end_ms: int,
 
     vid = VideoReader(v_path)
     fps = vid.fps
+    if not vid.is_opened() or fps <= 0:
+        # reference parity: an unopenable video yields fps=0, which makes
+        # its while-loop vacuous — it silently writes nothing
+        # (`visualize_optical_flow.py:14-21`)
+        vid.release()
+        return 0
     start_frame = fps * start_ms / 1000          # float, like the reference
     end_frame = int(fps * end_ms / 1000)
     step = int(fps * config.step_size / 1000)

@@ -54,10 +54,10 @@ class FarnebackConfig:
         return self
 
 
-# Version stamp for .done sentinels.  The reference stamps its own script
-# date (`optical_flow.py:12`); we keep an independent stamp so reruns with
-# either implementation are tracked distinctly, while the file FORMAT stays
-# identical (`optical_flow.py:152`).
+# Version stamp for .done sentinels.  Intentionally identical to the
+# reference's (`optical_flow.py:12`) so .done files are mutually accepted —
+# a corpus half-processed by the reference resumes under this implementation
+# (and vice versa) without rework; format matches `optical_flow.py:152`.
 EXTRACTOR = "opticalflow"
 VERSION = "20201209"
 

@@ -116,6 +116,47 @@ class TestFaultInjection:
         assert end_ms <= full_end
 
 
+class TestMemoryBounds:
+    def test_long_video_evicts_frames(self, tmp_path, monkeypatch):
+        """Device-resident frames must stay bounded by the chunk span +
+        decode-ahead depth on long videos (ADVICE r1: the frames dict used
+        to grow without bound), without changing the output."""
+        from optical_flow_tpu.pipeline import extractor
+
+        path = str(tmp_path / "long.mp4")
+        write_synthetic_video(path, n_frames=450, h=96, w=128, fps=25.0,
+                              seed=3)
+        cfg = ExtractorConfig(frame_width=0)      # full-res, the worst case
+        ref_mags, ref_ts = extractor.extract_video(path, cfg)
+
+        monkeypatch.setattr(extractor, "pair_chunk_for", lambda *a, **k: 8)
+        mags, ts = extractor.extract_video(path, cfg)
+        peak = extractor.LAST_RUN_COUNTERS["peak_live_frames"]
+        decoded = extractor.LAST_RUN_COUNTERS["frames_decoded"]
+        assert decoded >= 100
+        # ~2 endpoints per window over a chunk of 8 windows, plus margin
+        assert peak <= 40, f"peak_live_frames={peak} not bounded"
+        assert peak < decoded / 3
+        # eviction must not change results
+        assert ts == ref_ts
+        np.testing.assert_allclose(mags, ref_mags, rtol=1e-6)
+
+
+class TestVisualizerDegenerate:
+    def test_unopenable_video_writes_nothing(self, tmp_path):
+        """Reference parity: an unreadable video makes the visualizer's
+        while-loop vacuous (fps=0) — it silently writes nothing
+        (`visualize_optical_flow.py:14-21`, ADVICE r1)."""
+        from optical_flow_tpu.pipeline.visualizer import visualize_shot
+
+        bad = str(tmp_path / "bad.mp4")
+        with open(bad, "wb") as f:
+            f.write(b"not a video")
+        out = str(tmp_path / "out")
+        assert visualize_shot(bad, out, 0, 1000) == 0
+        assert os.path.isdir(out) and os.listdir(out) == []
+
+
 class TestWarmup:
     def test_warmup_compiles(self):
         from optical_flow_tpu.utils.warmup import (
