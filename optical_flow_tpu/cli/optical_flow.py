@@ -65,10 +65,17 @@ def main(argv=None) -> None:
         force_run=args.force_run,
     )
     videoids = args.videoids
-    if args.num_workers > 1:
-        from optical_flow_tpu.parallel.corpus import shard_videoids
-        videoids = shard_videoids(videoids, args.worker_index,
-                                  args.num_workers)
+    # multi-host: when OFT_COORDINATOR_ADDRESS is set, each process takes
+    # the corpus shard of its jax.distributed process index (unless the
+    # worker grid was given explicitly on the command line)
+    from optical_flow_tpu.parallel.corpus import (maybe_init_distributed,
+                                                  shard_videoids)
+    pid, nproc = maybe_init_distributed()
+    worker_index, num_workers = args.worker_index, args.num_workers
+    if nproc > 1 and num_workers == 1:
+        worker_index, num_workers = pid, nproc
+    if num_workers > 1:
+        videoids = shard_videoids(videoids, worker_index, num_workers)
     run_corpus(args.features_root, videoids, config, progress=tqdm,
                robust=args.robust)
 

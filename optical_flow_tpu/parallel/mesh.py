@@ -104,8 +104,35 @@ def _sharded_extract_fn(mesh: Mesh, h: int, w: int, config: FarnebackConfig):
     plan = build_plan(h, w, config)
     in_s = NamedSharding(mesh, P("data", "spatial", None))
     out_s = NamedSharding(mesh, P("data"))
+    n_spatial = mesh.shape["spatial"]
+
+    if n_spatial == 1:
+        # pure data parallelism: shard_map over 'data' so each chip runs
+        # the full per-shard pyramid locally — INCLUDING the Pallas kernels
+        # on TPU backends (round-1 review: this path used to silently fall
+        # back to the XLA gather the kernels exist to avoid)
+        from optical_flow_tpu.models.farneback.flow import _on_tpu
+        use_pallas = _on_tpu()
+
+        def per_shard(prev, nxt):
+            flow = _flow_pyramid(prev.astype(jnp.float32),
+                                 nxt.astype(jnp.float32), plan,
+                                 use_pallas=use_pallas)
+            mag, _ = cart_to_polar(flow[:, 0], flow[:, 1])
+            return jnp.sum(mag, axis=(-2, -1))
+
+        fn = jax.shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(P("data", None, None), P("data", None, None)),
+            out_specs=P("data"),
+            check_vma=False)
+        return jax.jit(fn)
 
     def fn(prev, nxt):
+        # spatial sharding (HBM relief at 4K+): XLA SPMD partitions the
+        # pyramid; the Pallas kernels are not spatially partitionable, so
+        # the XLA path is used — see docs/ARCHITECTURE.md "which path runs
+        # on hardware"
         flow = _flow_pyramid(prev.astype(jnp.float32),
                              nxt.astype(jnp.float32), plan, use_pallas=False)
         mag, _ = cart_to_polar(flow[:, 0], flow[:, 1])

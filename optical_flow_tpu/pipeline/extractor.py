@@ -36,7 +36,7 @@ from optical_flow_tpu.io.sidecar import DoneSentinel, write_mag_to_csv
 from optical_flow_tpu.io.video import VideoReader
 from optical_flow_tpu.pipeline.prefetch import DecodePrefetcher, pair_chunk_for
 from optical_flow_tpu.models.farneback import calc_flow_batched
-from optical_flow_tpu.ops import bgr2gray_u8, resize_frame_u8
+from optical_flow_tpu.ops.host import bgr2gray_host, resize_gray_host
 from optical_flow_tpu.ops.resize import aspect_preserving_size
 from optical_flow_tpu.ops.polar import cart_to_polar
 from optical_flow_tpu.utils.config import ExtractorConfig, EXTRACTOR
@@ -94,21 +94,20 @@ def extract_video(v_path: str, config: ExtractorConfig
     windows, step = _window_schedule(tot_frames, fps, config.step_size,
                                      config.window_size)
 
-    # streamed decode (background thread, decode-ahead) of each needed
-    # frame exactly once, ascending; stop at first failure (reference
-    # early-break semantics: a window is included iff both its frames
-    # decode AND no earlier window failed)
+    # streamed decode (parallel segment readers, decode-ahead) of each
+    # needed frame exactly once, ascending; stop at first failure
+    # (reference early-break semantics: a window is included iff both its
+    # frames decode AND no earlier window failed).  Resize + grayscale run
+    # host-side inside the decode workers (bit-exact numpy twins of the
+    # device ops), so only the small gray frames are uploaded.
     vid.release()
     needed = sorted({i for w in windows for i in w})
-    prefetch = DecodePrefetcher(v_path, needed)
-
-    def prep_one(frame):
-        # resize (cv2 u8 fixed point) + gray on device; async dispatch so
-        # decode of the next frame overlaps
-        g = bgr2gray_u8(resize_frame_u8(jnp.asarray(frame),
-                                        config.frame_width)
-                        if config.frame_width else jnp.asarray(frame))
-        return g
+    if config.frame_width:
+        def transform(frame, _w=config.frame_width):
+            return resize_gray_host(frame, _w)
+    else:
+        transform = bgr2gray_host
+    prefetch = DecodePrefetcher(v_path, needed, transform=transform)
 
     frames = {}
     failed_at = None
@@ -142,7 +141,7 @@ def extract_video(v_path: str, config: ExtractorConfig
             if frame is None:
                 failed_at = pos
                 break
-            frames[pos] = prep_one(frame)
+            frames[pos] = jnp.asarray(frame)   # tiny gray upload, async
             metrics.add("frames_decoded")
             peak_live = max(peak_live, len(frames))
             while pending is not None and pending[0] in frames \

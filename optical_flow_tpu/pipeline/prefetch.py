@@ -1,19 +1,23 @@
-"""Streamed decode with decode-ahead and double-buffered device staging.
+"""Streamed decode with parallel segment readers and decode-ahead.
 
 The reference decodes synchronously inside its per-pair loop
-(`optical_flow.py:83-99`, SURVEY.md 3.1 — the dominant I/O cost).  Here a
-background thread runs the native decoder ahead of the consumer through a
-bounded queue, and batches are staged to the device asynchronously
-(jax.device_put) while the previous batch computes — so at 1080p/4K the
-TPU never waits on H.264 decode unless decode is strictly slower than
-flow.
+(`optical_flow.py:83-99`, SURVEY.md 3.1 — the dominant I/O cost).  Here the
+position list is split into contiguous segments, each decoded by its own
+native VideoReader on its own thread (H.264 decode of disjoint ranges is
+embarrassingly parallel), feeding bounded queues that the consumer drains
+strictly in order — so the reference's early-break contract (first failed
+read aborts everything after it) is preserved exactly while decode runs
+Nx wide.  An optional `transform` runs in the worker threads (host-side
+resize/grayscale), overlapping post-processing with decode and shrinking
+the host->device upload.
 """
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
-from typing import Iterable, Iterator, Optional, Tuple
+from typing import Callable, Iterable, Iterator, Optional, Tuple
 
 import jax
 import numpy as np
@@ -21,42 +25,87 @@ import numpy as np
 from optical_flow_tpu.io.video import VideoReader
 
 
-class DecodePrefetcher:
-    """Background decode of a list of frame positions, in order.
+def default_decode_workers(n_positions: int) -> int:
+    """Segment count: parallel decode pays off past a handful of frames."""
+    if n_positions < 8:
+        return 1
+    return max(1, min(4, os.cpu_count() or 1))
 
-    Yields (pos, frame_bgr | None); a failed read yields (pos, None) and
-    stops (the reference's early-break contract).
+
+class DecodePrefetcher:
+    """Background decode of a list of frame positions, yielded in order.
+
+    Yields (pos, frame_or_transform(frame) | None); a failed read yields
+    (pos, None) and stops (the reference's early-break contract, even when
+    later segments decoded successfully).
     """
 
     def __init__(self, v_path: str, positions: Iterable[float],
-                 depth: int = 16):
+                 depth: int = 16,
+                 transform: Optional[Callable[[np.ndarray], object]] = None,
+                 workers: Optional[int] = None):
         self._positions = list(positions)
-        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
-        self._thread = threading.Thread(
-            target=self._run, args=(v_path,), daemon=True)
-        self._thread.start()
+        n = len(self._positions)
+        if workers is None:
+            workers = default_decode_workers(n)
+        workers = max(1, min(workers, max(n, 1)))
+        self._stop = threading.Event()
+        self._queues = []
+        qdepth = max(2, depth // workers)
+        bounds = [round(i * n / workers) for i in range(workers + 1)]
+        for i in range(workers):
+            seg = self._positions[bounds[i]:bounds[i + 1]]
+            if not seg:
+                continue
+            q: "queue.Queue" = queue.Queue(maxsize=qdepth)
+            self._queues.append(q)
+            threading.Thread(target=self._run,
+                             args=(v_path, seg, q, transform),
+                             daemon=True).start()
+        if not self._queues:           # empty position list
+            q = queue.Queue(maxsize=1)
+            q.put(None)
+            self._queues.append(q)
 
-    def _run(self, v_path: str) -> None:
+    def _run(self, v_path: str, seg, q: "queue.Queue", transform) -> None:
+        def put(item) -> bool:
+            # bounded put that aborts when the consumer went away
+            while not self._stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    pass
+            return False
+
         vid = VideoReader(v_path)
         try:
-            for pos in self._positions:
+            for pos in seg:
+                if self._stop.is_set():
+                    return
                 ret, frame = vid.read_at(pos)
                 if not ret:
-                    self._q.put((pos, None))
+                    put((pos, None))
                     return
-                self._q.put((pos, frame))
-            self._q.put(None)          # sentinel: all done
+                out = transform(frame) if transform is not None else frame
+                if not put((pos, out)):
+                    return
+            put(None)                  # sentinel: segment done
         finally:
             vid.release()
 
-    def __iter__(self) -> Iterator[Tuple[float, Optional[np.ndarray]]]:
-        while True:
-            item = self._q.get()
-            if item is None:
-                return
-            yield item
-            if item[1] is None:
-                return
+    def __iter__(self) -> Iterator[Tuple[float, Optional[object]]]:
+        try:
+            for q in self._queues:
+                while True:
+                    item = q.get()
+                    if item is None:
+                        break          # segment exhausted, next one
+                    yield item
+                    if item[1] is None:
+                        return         # failed read: drop the tail
+        finally:
+            self._stop.set()
 
 
 def pair_chunk_for(h: int, w: int, budget_pixels: int = 32 << 20,

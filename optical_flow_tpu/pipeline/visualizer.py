@@ -33,7 +33,8 @@ import numpy as np
 from optical_flow_tpu.io.jpeg import write_jpeg_bgr
 from optical_flow_tpu.io.video import VideoReader
 from optical_flow_tpu.models.farneback import calc_flow_batched
-from optical_flow_tpu.ops import bgr2gray_u8, flow_to_bgr_u8
+from optical_flow_tpu.ops import flow_to_bgr_u8
+from optical_flow_tpu.ops.host import bgr2gray_host
 from optical_flow_tpu.pipeline.prefetch import DecodePrefetcher, pair_chunk_for
 from optical_flow_tpu.utils.config import VisualizerConfig
 from optical_flow_tpu.utils.metrics import PipelineMetrics
@@ -74,7 +75,10 @@ def visualize_shot(v_path: str, images_path: str, start_ms: int, end_ms: int,
     if len(positions) < 2:
         return 0
 
-    prefetch = DecodePrefetcher(v_path, positions)
+    # grayscale runs host-side in the decode workers (bit-exact numpy twin
+    # of the device op): the flow path uploads 1 gray channel, not 3 BGR
+    prefetch = DecodePrefetcher(v_path, positions,
+                                transform=lambda f: (f, bgr2gray_host(f)))
     chunk_size = pair_chunk_for(h or 1080, w or 1920)
     # JPEG encode is host-side CPU work (libjpeg releases the GIL);
     # a small pool keeps it off the decode/compute critical path
@@ -131,12 +135,13 @@ def visualize_shot(v_path: str, images_path: str, start_ms: int, end_ms: int,
                 written += 1
 
     with metrics.stage("stream"):
-        for pos, frame in prefetch:
-            if frame is None:
+        for pos, item in prefetch:
+            if item is None:
                 break
+            frame, gray_np = item
             stamps.append(pos)
             i = len(gray)
-            gray.append(bgr2gray_u8(jnp.asarray(frame)))   # async device op
+            gray.append(jnp.asarray(gray_np))   # async gray upload
             if i >= 1:
                 # source image written on arrival (bounded host memory at 4K)
                 ms = int(pos / fps * 1000)

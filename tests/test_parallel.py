@@ -51,10 +51,76 @@ class TestMesh:
         ref = np.sqrt((flow ** 2).sum(-1)).sum(axis=(-2, -1))
         np.testing.assert_allclose(sums, ref, rtol=1e-4)
 
+    def test_extract_step_sums_pure_dp(self, batch):
+        # the dp shard_map formulation (the path that runs the Pallas
+        # kernels per shard on TPU backends)
+        prev, nxt = batch
+        mesh = make_mesh(8, 1)
+        sums = np.asarray(sharded_extract_step(
+            mesh, shard_pairs(mesh, prev), shard_pairs(mesh, nxt)))
+        flow = np.asarray(calc_flow_batched(prev, nxt))
+        ref = np.sqrt((flow ** 2).sum(-1)).sum(axis=(-2, -1))
+        np.testing.assert_allclose(sums, ref, rtol=1e-4)
+
     def test_graft_dryrun(self):
         import __graft_entry__ as g
         g.dryrun_multichip(8)
         g.dryrun_multichip(4)
+
+
+class TestMultiHost:
+    def test_two_process_distributed_corpus(self, tmp_path):
+        """Two real processes, coordinated via jax.distributed (the DCN
+        multi-host slot, SURVEY.md 2e): each must take its own corpus
+        shard and the whole corpus must complete."""
+        import os
+        import socket
+        import subprocess
+        import sys
+
+        from optical_flow_tpu.oracle.synthetic import write_synthetic_video
+
+        root = str(tmp_path / "corpus")
+        vids = [f"v{i}" for i in range(4)]
+        for v in vids:
+            os.makedirs(os.path.join(root, v, "media"))
+            write_synthetic_video(os.path.join(root, v, "media", v + ".mp4"),
+                                  n_frames=30, h=120, w=160, seed=1)
+
+        child = tmp_path / "child.py"
+        child.write_text(
+            "import sys\n"
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "from optical_flow_tpu.cli.optical_flow import main\n"
+            "main(sys.argv[1:])\n")
+
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        procs = []
+        for pid in range(2):
+            env = dict(os.environ)
+            env["OFT_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+            env["OFT_NUM_PROCESSES"] = "2"
+            env["OFT_PROCESS_ID"] = str(pid)
+            env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+            procs.append(subprocess.Popen(
+                [sys.executable, str(child), root] + vids,
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True))
+        outs = [p.communicate(timeout=600) for p in procs]
+        for p, (out, err) in zip(procs, outs):
+            assert p.returncode == 0, err
+            # each process must have taken exactly its 2-video shard
+            assert "Computing optical flow for 2 videos" in err
+        for v in vids:
+            assert os.path.isfile(
+                os.path.join(root, v, "opticalflow", v + ".csv"))
+            assert os.path.isfile(
+                os.path.join(root, v, "opticalflow", ".done"))
 
 
 class TestCorpusSharding:

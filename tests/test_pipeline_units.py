@@ -36,6 +36,31 @@ class TestPrefetcher:
         assert [p for p, _ in got] == [0, 5, 30]
         assert got[-1][1] is None            # failed read, then stop
 
+    def test_parallel_segments_keep_order(self, video):
+        import cv2
+        positions = list(range(0, 30, 2))
+        got = list(DecodePrefetcher(video, positions, workers=4))
+        assert [p for p, _ in got] == positions
+        vc = cv2.VideoCapture(video)
+        for p, frame in got[:3] + got[-3:]:
+            vc.set(cv2.CAP_PROP_POS_FRAMES, p)
+            _, ref = vc.read()
+            np.testing.assert_array_equal(frame, ref)
+
+    def test_parallel_early_break_drops_tail(self, video):
+        # failure inside an early segment must suppress later segments'
+        # frames even though they decoded fine (reference early-break)
+        positions = [0, 5, 77, 10, 12, 14, 16, 18, 20, 22, 24, 26]
+        got = list(DecodePrefetcher(video, positions, workers=4))
+        assert [p for p, _ in got] == [0, 5, 77]
+        assert got[-1][1] is None
+
+    def test_transform_runs_in_workers(self, video):
+        got = list(DecodePrefetcher(video, [0, 4, 8, 12],
+                                    transform=lambda f: f.shape,
+                                    workers=2))
+        assert [f for _, f in got] == [(120, 160, 3)] * 4
+
 
 class TestChunkSizing:
     def test_resolution_scaling(self):
