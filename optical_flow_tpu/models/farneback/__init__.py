@@ -1,4 +1,8 @@
-from optical_flow_tpu.models.farneback.flow import calc_flow, calc_flow_batched
+from optical_flow_tpu.models.farneback.flow import (
+    calc_flow,
+    calc_flow_batched,
+    calc_flow_bgr_batched,
+)
 from optical_flow_tpu.models.farneback.params import (
     FarnebackPlan,
     build_plan,
@@ -9,6 +13,7 @@ from optical_flow_tpu.models.farneback.params import (
 __all__ = [
     "calc_flow",
     "calc_flow_batched",
+    "calc_flow_bgr_batched",
     "FarnebackPlan",
     "build_plan",
     "effective_levels",

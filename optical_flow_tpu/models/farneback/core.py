@@ -224,7 +224,11 @@ def update_flow(R0, R1, flow, winsize: int, iterations: int,
         else:
             blur_solve_fn = lambda M: solve_flow(
                 box_sum_replicate(M, winsize), 1.0 / (winsize * winsize))
-    for i in range(iterations):
-        M = update_fn(R0, R1, flow)
-        flow = blur_solve_fn(M)
+    # scan, not a Python loop: the body compiles once per level even when
+    # an iteration's update/blur step is an expensive-to-compile Pallas
+    # kernel (XLA does not CSE identical pallas custom-calls)
+    def body(fl, _):
+        return blur_solve_fn(update_fn(R0, R1, fl)), None
+
+    flow, _ = jax.lax.scan(body, flow, None, length=iterations)
     return flow

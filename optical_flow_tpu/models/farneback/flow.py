@@ -154,6 +154,46 @@ def _jitted_batched(h: int, w: int, config: FarnebackConfig):
 
 
 @functools.lru_cache(maxsize=64)
+def _jitted_batched_bgr(h: int, w: int, config: FarnebackConfig):
+    """Pyramid + colorization in ONE program: (B, H, W) gray pairs ->
+    planar BGR uint8 (B, 3, H, W), never materializing the flow field in
+    an interleaved layout.  On TPU the colorization runs as the fused
+    Pallas kernel (pallas/colorize.py); elsewhere the XLA path."""
+    plan = build_plan(h, w, config)
+    use_pallas = _on_tpu()
+
+    def fn(prev, nxt):
+        flow = _flow_pyramid(prev.astype(jnp.float32),
+                             nxt.astype(jnp.float32), plan, use_pallas)
+        if use_pallas and min(h, w) >= 32:
+            from optical_flow_tpu.pallas.colorize import (
+                flow_to_bgr_planar_pallas)
+            return flow_to_bgr_planar_pallas(flow)
+        from optical_flow_tpu.ops.colorize import flow_to_bgr_u8
+        return jnp.moveaxis(flow_to_bgr_u8(jnp.moveaxis(flow, 1, -1)),
+                            -1, 1)
+
+    return jax.jit(fn)
+
+
+def calc_flow_bgr_batched(prev, nxt,
+                          config: FarnebackConfig = FarnebackConfig()):
+    """Dense flow + reference-exact colorization for a batch of pairs.
+
+    prev, nxt: (B, H, W) uint8/float grayscale.  Returns planar BGR uint8
+    (B, 3, H, W) — byte-identical to `flow_to_bgr_u8(calc_flow_batched(...))`
+    modulo the channel layout.  The visualizer hot path
+    (`visualize_optical_flow.py:38-55`) as one device program.
+    """
+    if prev.shape != nxt.shape:
+        raise ValueError(f"frame shapes differ: {prev.shape} vs {nxt.shape}")
+    if prev.ndim != 3:
+        raise ValueError(f"expected (B, H, W), got {prev.shape}")
+    _, h, w = prev.shape
+    return _jitted_batched_bgr(h, w, config)(prev, nxt)
+
+
+@functools.lru_cache(maxsize=64)
 def _jitted_batched_seeded(h: int, w: int, config: FarnebackConfig):
     plan = build_plan(h, w, config)
     use_pallas = _on_tpu()

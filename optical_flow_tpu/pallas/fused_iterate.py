@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -74,7 +75,14 @@ def update_flow_fused(R0, R1, flow, winsize: int, iterations: int,
     R1p = jnp.pad(R1, pad)
     flowp = jnp.pad(flow, pad)
     scp = jnp.asarray(_scp_host(h, w, Hs, Ws))
-    for _ in range(iterations):
-        Mst = update_matrices_store(R0p, R1p, flowp, scp, h, w)
-        flowp = blur_solve_store(Mst, winsize, gaussian)
+
+    # scan, not a Python loop: the iteration body (the two Mosaic kernels)
+    # is compiled ONCE per level instead of `iterations` times — XLA does
+    # not CSE identical pallas custom-calls, and the update kernel is the
+    # most expensive Mosaic compile in the pipeline (~12 s at 1080p).
+    def body(fl, _):
+        Mst = update_matrices_store(R0p, R1p, fl, scp, h, w)
+        return blur_solve_store(Mst, winsize, gaussian), None
+
+    flowp, _ = jax.lax.scan(body, flowp, None, length=iterations)
     return flowp[:, :, ROW_OFF:ROW_OFF + h, COL_OFF:COL_OFF + w]

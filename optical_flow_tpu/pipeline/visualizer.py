@@ -32,8 +32,7 @@ import numpy as np
 
 from optical_flow_tpu.io.jpeg import write_jpeg_bgr
 from optical_flow_tpu.io.video import VideoReader
-from optical_flow_tpu.models.farneback import calc_flow_batched
-from optical_flow_tpu.ops import flow_to_bgr_u8
+from optical_flow_tpu.models.farneback import calc_flow_bgr_batched
 from optical_flow_tpu.ops.host import bgr2gray_host
 from optical_flow_tpu.pipeline.prefetch import DecodePrefetcher, pair_chunk_for
 from optical_flow_tpu.utils.config import VisualizerConfig
@@ -92,47 +91,42 @@ def visualize_shot(v_path: str, images_path: str, start_ms: int, end_ms: int,
 
     inflight = []          # (pend, device flow image) awaiting download
 
-    def drain():
+    def write_planar(path, planar_u8, quality):
+        # (3, H, W) -> HWC contiguous inside the worker, off the hot path
+        write_jpeg_bgr(path, np.ascontiguousarray(
+            planar_u8.transpose(1, 2, 0)), quality)
+
+    def drain_one():
         nonlocal written
+        dpend, dev = inflight.pop(0)
+        with metrics.stage("download"):
+            flow_bgr = np.asarray(dev)         # planar (B, 3, H, W) uint8
+        with metrics.stage("encode"):
+            for j, i in enumerate(dpend):
+                ms = int(stamps[i] / fps * 1000)
+                encodes.append(pool.submit(
+                    write_planar,
+                    os.path.join(images_path, f"flow_{ms}.jpeg"),
+                    flow_bgr[j], config.jpeg_quality))
+                written += 1
+
+    def drain():
         while inflight:
-            dpend, dev = inflight.pop(0)
-            with metrics.stage("download"):
-                flow_bgr = np.asarray(dev)
-            with metrics.stage("encode"):
-                for j, i in enumerate(dpend):
-                    ms = int(stamps[i] / fps * 1000)
-                    encodes.append(pool.submit(
-                        write_jpeg_bgr,
-                        os.path.join(images_path, f"flow_{ms}.jpeg"),
-                        flow_bgr[j], config.jpeg_quality))
-                    written += 1
+            drain_one()
 
     def flush(pend):
         with metrics.stage("flow"):
             prev = jnp.stack([gray[i - 1] for i in pend])
             nxt = jnp.stack([gray[i] for i in pend])
-            flow = calc_flow_batched(prev, nxt, config.farneback)
-            dev = flow_to_bgr_u8(flow)         # async device dispatch
+            # pyramid + colorization fused into one device program
+            # (Pallas colorize kernel on TPU): async device dispatch
+            dev = calc_flow_bgr_batched(prev, nxt, config.farneback)
         metrics.add("frame_pairs", len(pend))
         for i in pend:
             gray[i - 1] = None     # frame pairs are consecutive; i-1 done
         inflight.append((list(pend), dev))
         if len(inflight) > 1:
             drain_one()
-
-    def drain_one():
-        nonlocal written
-        dpend, dev = inflight.pop(0)
-        with metrics.stage("download"):
-            flow_bgr = np.asarray(dev)
-        with metrics.stage("encode"):
-            for j, i in enumerate(dpend):
-                ms = int(stamps[i] / fps * 1000)
-                encodes.append(pool.submit(
-                    write_jpeg_bgr,
-                    os.path.join(images_path, f"flow_{ms}.jpeg"),
-                    flow_bgr[j], config.jpeg_quality))
-                written += 1
 
     with metrics.stage("stream"):
         for pos, item in prefetch:

@@ -135,5 +135,10 @@ class TestFlowColorize:
         diff = np.abs(ours.astype(int) - ref.astype(int))
         frac = (diff > 0).mean()
         # deviations only at hue/value truncation boundaries (f32 vs f64
-        # round-trip, SURVEY.md 2c #1-2): rare and bounded
-        assert frac <= 5e-3, f"colorize mismatch fraction {frac}"
+        # round-trip, SURVEY.md 2c #1-2): rare and bounded.  The byte-level
+        # sensitivity gate for the colorizer lives HERE (the pipeline golden
+        # test can only gate grossly, since sub-pixel flow differences move
+        # hue/value everywhere): a 1-level value shift flips frac to ~1.0,
+        # a 1-sector hue shift blows the max bound.
+        assert frac <= 1e-3, f"colorize mismatch fraction {frac}"
+        assert diff.max() <= 8, f"colorize max diff {diff.max()}"

@@ -23,12 +23,13 @@ def interpret_mode():
     import optical_flow_tpu.pallas.blur_solve as bs
     import optical_flow_tpu.pallas.polyexp as pe
     import optical_flow_tpu.pallas.gauss as ga
-    for m in (ug, bs, pe, ga):
+    import optical_flow_tpu.pallas.colorize as cz
+    for m in (ug, bs, pe, ga, cz):
         m._build.cache_clear()
     bs._build_store.cache_clear()
     yield
     pl.pallas_call = orig
-    for m in (ug, bs, pe, ga):
+    for m in (ug, bs, pe, ga, cz):
         m._build.cache_clear()
     bs._build_store.cache_clear()
 
@@ -184,3 +185,43 @@ class TestGaussKernel:
         out = np.asarray(gaussian_blur_pallas(img, taps))
         ref = np.asarray(core.gaussian_blur_reflect101(img, taps))
         np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-5)
+
+
+class TestColorizeKernel:
+    def _check(self, flow_np):
+        from optical_flow_tpu.pallas.colorize import flow_to_bgr_planar_pallas
+        from optical_flow_tpu.ops.colorize import flow_to_bgr_u8
+        flow_planar = jnp.asarray(flow_np)                    # (B, 2, H, W)
+        out = np.asarray(flow_to_bgr_planar_pallas(flow_planar))
+        ref = np.asarray(flow_to_bgr_u8(jnp.moveaxis(flow_planar, 1, -1)))
+        ref = np.moveaxis(ref, -1, 1)
+        # identical up to the +-1-level FMA-contraction wobble the XLA path
+        # itself documents vs cv2 (ops/color.py:_fma): truncation casts can
+        # flip one byte on ~1e-4 of pixels depending on a*b+c fusion
+        diff = np.abs(out.astype(np.int32) - ref.astype(np.int32))
+        assert diff.max() <= 1
+        assert (diff > 0).mean() <= 1e-3
+
+    def test_random_flow_byte_exact(self):
+        rng = np.random.default_rng(0)
+        self._check(rng.standard_normal((2, 2, 40, 130)).astype(np.float32)
+                    * 10)
+
+    def test_zero_flow(self):
+        # constant magnitude -> normalize maps to all zeros (SURVEY 2c);
+        # angle(0,0) == 0
+        self._check(np.zeros((1, 2, 16, 128), np.float32))
+
+    def test_hue_double_wrap_angles(self):
+        # directions spanning all sectors incl. the 256-degree wrap point
+        ang = np.linspace(0, 2 * np.pi, 24 * 128, endpoint=False,
+                          dtype=np.float32).reshape(24, 128)
+        mag = np.linspace(0.5, 8.0, 24 * 128,
+                          dtype=np.float32).reshape(24, 128)
+        flow = np.stack([mag * np.cos(ang), mag * np.sin(ang)])[None]
+        self._check(flow.astype(np.float32))
+
+    def test_unaligned_shape(self):
+        rng = np.random.default_rng(1)
+        self._check(rng.standard_normal((1, 2, 33, 150)).astype(np.float32)
+                    * 3)

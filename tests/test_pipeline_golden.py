@@ -11,6 +11,7 @@ import os
 import shutil
 import subprocess
 import sys
+import zlib
 
 import numpy as np
 import pytest
@@ -24,9 +25,12 @@ def _make_corpus(root, videoids):
     for vid in videoids:
         media = os.path.join(root, vid, "media")
         os.makedirs(media)
+        # crc32, not hash(): str hashing is randomized per process, which
+        # made the corpus (and therefore the tolerance headroom) vary from
+        # run to run
         write_synthetic_video(os.path.join(media, vid + ".mp4"),
                               n_frames=40, h=120, w=160, fps=25.0,
-                              seed=hash(vid) % 1000)
+                              seed=zlib.crc32(vid.encode()) % 1000)
 
 
 @pytest.fixture(scope="module")
@@ -72,9 +76,12 @@ class TestExtractorGolden:
             rm = np.array([float(x) for x in r_mags.split(" ")])
             om = np.array([float(x) for x in o_mags.split(" ")])
             assert rm.shape == om.shape
-            # values are percentile-scaled to [0,100]; sub-pixel flow
-            # differences shift them slightly
-            np.testing.assert_allclose(om, rm, atol=2.5,
+            # values are percentile-scaled to [0,100]: the divisor is the
+            # 5th-percentile summed magnitude, so sub-pixel flow
+            # differences shift ALL values multiplicatively (measured up
+            # to ~3.5% across synthetic corpora) — gate relative, which
+            # still fails hard on scale/sector bugs (those are >>10%)
+            np.testing.assert_allclose(om, rm, rtol=0.06, atol=1.0,
                                        err_msg=f"CSV values diverge for {vid}")
 
             ref_done = os.path.join(ref_root, vid, "opticalflow", ".done")
@@ -127,11 +134,25 @@ class TestVisualizerGolden:
                 # identical decode path + identical JPEG encode
                 np.testing.assert_array_equal(a, b, err_msg=name)
             else:
-                # flow images: sub-pixel flow differences shift hue/value,
-                # and hue is chaotic where |flow| ~ 0 (angle of noise);
-                # demand close agreement for the vast majority of pixels and
-                # a small mean deviation overall
+                # flow images: sub-pixel flow differences (mean EPE vs cv2
+                # ~0.3 px, gated in test_farneback_parity) shift hue/value
+                # everywhere, so byte-exactness vs the reference is not
+                # meaningful here; the byte-level colorizer gates live in
+                # tests/test_ops.py::TestFlowColorize (1-level value /
+                # 1-sector hue sensitivity) and the Pallas differential in
+                # test_pallas_kernels.py.  This gate catches gross errors
+                # (sector shifts, channel swaps, scale bugs) with
+                # magnitude-masked thresholds ~2x above the measured
+                # EPE-induced noise floor (masked >24: <=5.6%, >48: <=2.0%,
+                # masked mean <=4.4 on this clip).
                 diff = np.abs(a.astype(int) - b.astype(int))
-                frac_off = (diff.max(-1) > 24).mean()
-                assert frac_off < 0.10, f"{name}: {frac_off:.3f} pixels differ"
-                assert diff.mean() < 10.0, f"{name}: mean diff {diff.mean():.2f}"
+                mask = a.max(-1) >= 8     # value >= 8 (s=255 so V = max ch)
+                dm = diff.max(-1)
+                assert (dm[mask] > 24).mean() < 0.12, \
+                    f"{name}: {(dm[mask] > 24).mean():.3f} masked px > 24"
+                assert (dm[mask] > 48).mean() < 0.04, \
+                    f"{name}: {(dm[mask] > 48).mean():.3f} masked px > 48"
+                assert diff[mask].mean() < 8.0, \
+                    f"{name}: masked mean diff {diff[mask].mean():.2f}"
+                assert diff.mean() < 10.0, \
+                    f"{name}: mean diff {diff.mean():.2f}"
