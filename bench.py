@@ -3,11 +3,19 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": N}
 
+value/vs_baseline are the 1080p smooth-texture config (the headline);
+"extra" carries the hard configs so regressions there are visible in
+BENCH_r*.json too (VERDICT round 1, item 7):
+  * 1080p motion-boundary (opposite half-frame motions — worst case for
+    the update kernel's smooth-flow assumption; exercises the pass-2 /
+    tier-2 correction paths, with tier counters reported), and
+  * 4K (2160x3840, batch 4 — the HBM-bound streamed config).
+
 vs_baseline is measured against single-threaded OpenCV on this host's CPU
 (the reference's execution model, SURVEY.md section 6; the reference repo
-publishes no numbers).  The cv2 baseline is measured once and cached in
-BASELINE_MEASURED.json.  Also records mean EPE vs cv2 on the same pair as
-an accuracy guard (north star: <= 0.5 px).
+publishes no numbers).  cv2 baselines are measured once per shape and
+cached in BASELINE_MEASURED.json.  Mean EPE vs cv2 on the same pair is an
+accuracy guard (north star: <= 0.5 px).
 """
 
 import json
@@ -19,56 +27,58 @@ import numpy as np
 HERE = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(HERE, "BASELINE_MEASURED.json")
 
-B = 16             # pairs per dispatch
 H, W = 1080, 1920
 WARMUP = 2
-ITERS = 10
 
 
-def measure_cv2_baseline(f1, f2):
+def _load_cache():
     if os.path.exists(CACHE):
         with open(CACHE) as f:
             d = json.load(f)
-        if d.get("shape") == [H, W]:
+        if "configs" in d:
             return d
+    return {"configs": {}}
+
+
+def measure_cv2_baseline(key, f1, f2, cache):
+    if key in cache["configs"]:
+        return cache["configs"][key]
     import cv2
     cv2.setNumThreads(1)
     cv2.calcOpticalFlowFarneback(f1, f2, None, 0.5, 3, 15, 3, 5, 1.2, 0)
     n = 3
     t0 = time.time()
     for _ in range(n):
-        ref = cv2.calcOpticalFlowFarneback(f1, f2, None, 0.5, 3, 15, 3, 5,
-                                           1.2, 0)
+        cv2.calcOpticalFlowFarneback(f1, f2, None, 0.5, 3, 15, 3, 5, 1.2, 0)
     dt = (time.time() - t0) / n
     cv2.setNumThreads(0)
-    d = {"shape": [H, W], "cv2_single_thread_pairs_per_s": 1.0 / dt,
+    d = {"shape": list(f1.shape), "cv2_single_thread_pairs_per_s": 1.0 / dt,
          "cv2_ms_per_pair": dt * 1000.0}
+    cache["configs"][key] = d
     with open(CACHE, "w") as f:
-        json.dump(d, f, indent=1)
+        json.dump(cache, f, indent=1)
     return d
 
 
-def main():
-    from optical_flow_tpu.models.farneback import calc_flow_batched
-    from optical_flow_tpu.oracle import smooth_texture_pair
-    from optical_flow_tpu.utils.config import FarnebackConfig
+def measure_config(f1, f2, batch, iters=10, pipeline=5):
+    """Median pairs/s over `iters` timings of `pipeline` in-flight batches.
 
-    f1, f2 = smooth_texture_pair(H, W, (2, 3))
-    base = measure_cv2_baseline(f1, f2)
-
+    On this TPU transport block_until_ready can return before execution
+    finishes; completion is forced with a scalar host read (checksum).
+    The production pipelines keep batches in flight (async dispatch), so
+    throughput is measured over PIPELINE consecutive batches with one
+    sync — the same amortization the extractor gets.
+    """
     import jax
     import jax.numpy as jnp
-    prev = np.broadcast_to(f1, (B, H, W)).copy()
-    nxt = np.broadcast_to(f2, (B, H, W)).copy()
-    prev_d = jax.device_put(prev)
-    nxt_d = jax.device_put(nxt)
+    from optical_flow_tpu.models.farneback import calc_flow_batched
+    from optical_flow_tpu.utils.config import FarnebackConfig
+
+    h, w = f1.shape
+    prev_d = jax.device_put(np.broadcast_to(f1, (batch, h, w)).copy())
+    nxt_d = jax.device_put(np.broadcast_to(f2, (batch, h, w)).copy())
     cfg = FarnebackConfig()
 
-    # On this TPU transport block_until_ready can return before execution
-    # finishes; force completion with a scalar host read (checksum).  The
-    # production pipelines keep batches in flight (async dispatch), so
-    # throughput is measured over PIPELINE consecutive batches with one
-    # sync — the same amortization the extractor gets.
     def sync(x):
         float(jnp.sum(x[:, ::97, ::97]))
 
@@ -76,23 +86,83 @@ def main():
     sync(out)
     for _ in range(WARMUP):
         sync(calc_flow_batched(prev_d, nxt_d, cfg))
-    PIPELINE = 5
     times = []
-    for _ in range(ITERS):
+    for _ in range(iters):
         t0 = time.perf_counter()
         outs = [calc_flow_batched(prev_d, nxt_d, cfg)
-                for _ in range(PIPELINE)]
+                for _ in range(pipeline)]
         out = outs[-1]
         sync(out)
-        times.append((time.perf_counter() - t0) / PIPELINE)
+        times.append((time.perf_counter() - t0) / pipeline)
     dt = float(np.median(times))
-    pairs_per_s = B / dt
+    return batch / dt, dt, out
 
-    # accuracy guard vs cv2 on the same pair
+
+def epe_vs_cv2(f1, f2, ours0):
     import cv2
-    ref = cv2.calcOpticalFlowFarneback(f1, f2, None, 0.5, 3, 15, 3, 5, 1.2, 0)
-    ours = np.asarray(out[0])
-    epe = float(np.sqrt(((ours - ref) ** 2).sum(-1)).mean())
+    ref = cv2.calcOpticalFlowFarneback(f1, f2, None, 0.5, 3, 15, 3, 5,
+                                       1.2, 0)
+    return float(np.sqrt(((np.asarray(ours0) - ref) ** 2).sum(-1)).mean())
+
+
+def main():
+    from optical_flow_tpu.oracle import (motion_boundary_pair,
+                                         smooth_texture_pair)
+
+    cache = _load_cache()
+    import jax
+
+    # --- headline: 1080p smooth texture, batch 16 ---
+    f1, f2 = smooth_texture_pair(H, W, (2, 3))
+    base = measure_cv2_baseline("1080p_smooth", f1, f2, cache)
+    pairs_per_s, dt, out = measure_config(f1, f2, batch=16)
+    epe = epe_vs_cv2(f1, f2, out[0])
+
+    extra = {
+        "batch": 16,
+        "ms_per_batch": round(dt * 1000.0, 2),
+        "mean_epe_vs_cv2": round(epe, 4),
+        "cv2_single_thread_pairs_per_s": round(
+            base["cv2_single_thread_pairs_per_s"], 3),
+        "device": str(jax.devices()[0]),
+    }
+
+    # --- hard config 1: 1080p motion boundary (tier-2 path) ---
+    try:
+        from optical_flow_tpu.pallas.update_gather import (
+            TIER_COUNTS, reset_tier_counts, tier_counting_available)
+        reset_tier_counts()
+        b1, b2 = motion_boundary_pair(H, W)
+        mb_base = measure_cv2_baseline("1080p_boundary", b1, b2, cache)
+        mb_pps, mb_dt, mb_out = measure_config(b1, b2, batch=16, iters=5)
+        counts_ok = tier_counting_available()
+        extra["motion_boundary"] = {
+            "pairs_per_s": round(mb_pps, 1),
+            "vs_baseline": round(
+                mb_pps / mb_base["cv2_single_thread_pairs_per_s"], 1),
+            "mean_epe_vs_cv2": round(epe_vs_cv2(b1, b2, mb_out[0]), 4),
+            # None = transport has no host callbacks (axon), not "0 fires"
+            "tier2_fires": TIER_COUNTS["tier2"] if counts_ok else None,
+            "tier3_fires": TIER_COUNTS["tier3"] if counts_ok else None,
+        }
+    except Exception as e:  # pragma: no cover - report, don't hide
+        extra["motion_boundary"] = {"error": repr(e)}
+
+    # --- hard config 2: 4K, batch 4 (HBM-bound) ---
+    try:
+        u1, u2 = smooth_texture_pair(2160, 3840, (3, 5))
+        uhd_base = measure_cv2_baseline("4k_smooth", u1, u2, cache)
+        uhd_pps, uhd_dt, uhd_out = measure_config(u1, u2, batch=4, iters=5,
+                                                  pipeline=3)
+        extra["uhd_4k"] = {
+            "pairs_per_s": round(uhd_pps, 1),
+            "batch": 4,
+            "vs_baseline": round(
+                uhd_pps / uhd_base["cv2_single_thread_pairs_per_s"], 1),
+            "mean_epe_vs_cv2": round(epe_vs_cv2(u1, u2, uhd_out[0]), 4),
+        }
+    except Exception as e:  # pragma: no cover - report, don't hide
+        extra["uhd_4k"] = {"error": repr(e)}
 
     result = {
         "metric": "frame-pairs/sec at 1080p Farneback (batched, 1 chip)",
@@ -100,14 +170,7 @@ def main():
         "unit": "pairs/s",
         "vs_baseline": round(
             pairs_per_s / base["cv2_single_thread_pairs_per_s"], 1),
-        "extra": {
-            "batch": B,
-            "ms_per_batch": round(dt * 1000.0, 2),
-            "mean_epe_vs_cv2": round(epe, 4),
-            "cv2_single_thread_pairs_per_s": round(
-                base["cv2_single_thread_pairs_per_s"], 3),
-            "device": str(jax.devices()[0]),
-        },
+        "extra": extra,
     }
     print(json.dumps(result))
 

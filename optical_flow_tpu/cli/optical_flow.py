@@ -56,6 +56,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    from optical_flow_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
     config = ExtractorConfig(
         frame_width=args.frame_width,

@@ -29,6 +29,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    from optical_flow_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     args = build_parser().parse_args(argv)
     visualize_shot(args.video_dir, args.images_path, args.shot_begin,
                    args.shot_end)

@@ -7,12 +7,14 @@ reference relies on (`optical_flow.py`, `visualize_optical_flow.py`).
 
 from optical_flow_tpu.oracle.synthetic import (
     smooth_texture_pair,
+    motion_boundary_pair,
     quadratic_pair,
     write_synthetic_video,
 )
 
 __all__ = [
     "smooth_texture_pair",
+    "motion_boundary_pair",
     "quadratic_pair",
     "write_synthetic_video",
 ]

@@ -29,6 +29,21 @@ def smooth_texture_pair(h: int, w: int, shift=(1, 2), seed: int = 42,
     return f1, f2
 
 
+def motion_boundary_pair(h: int, w: int, shift_a=(2, 3), shift_b=(-2, -3),
+                         seed: int = 7):
+    """Two half-frames moving in OPPOSITE directions (a vertical motion
+    boundary down the middle).  The worst case for the update kernel's
+    smooth-flow assumption: per-subtile source-row spread blows past the
+    pass-1 candidate budget at the boundary, exercising the pass-2 /
+    tier-2 correction paths (pallas/update_gather.py)."""
+    fa1, fa2 = smooth_texture_pair(h, w, shift_a, seed=seed)
+    fb1, fb2 = smooth_texture_pair(h, w, shift_b, seed=seed + 1)
+    m = w // 2
+    f1 = np.concatenate([fa1[:, :m], fb1[:, m:]], axis=1)
+    f2 = np.concatenate([fa2[:, :m], fb2[:, m:]], axis=1)
+    return f1, f2
+
+
 def quadratic_pair(h: int, w: int, d=(0.5, -0.3), coeffs=(2.0, 1.5, 0.15, 0.10, 0.05)):
     """A quadratic-surface frame pair with exact sub-pixel shift d=(dx, dy).
 

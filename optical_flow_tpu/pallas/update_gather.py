@@ -51,6 +51,48 @@ VIOL_MAX = 16384    # max spilled pixels fixed by the XLA correction
 ROW_OFF = 16
 COL_OFF = 8
 
+# Observability: how often the exactness tiers fire (tier 2 = bounded
+# gather+scatter correction, tier 3 = full XLA recompute).  Content that
+# silently falls off the fast path (dense noise, fast global motion) shows
+# up here; bench.py and the metrics logs surface the counts.  Updated via
+# jax.debug.callback from inside the taken cond branch, so the counts are
+# exact per executed device step (async: drain with a block/host read
+# before reading).
+TIER_COUNTS = {"tier2": 0, "tier3": 0}
+
+
+def reset_tier_counts() -> None:
+    TIER_COUNTS["tier2"] = 0
+    TIER_COUNTS["tier3"] = 0
+
+
+@functools.lru_cache(maxsize=1)
+def tier_counting_available() -> bool:
+    """Host callbacks are unsupported on some transports (axon_pjrt
+    rejects send/recv callbacks); tier counting degrades to no-op there
+    rather than breaking the compute path.  The axon device masquerades
+    as platform 'tpu', so sniff the PJRT platform_version string."""
+    try:
+        from jax.extend.backend import get_backend
+        return "axon" not in get_backend().platform_version
+    except Exception:   # pragma: no cover - no backend at all
+        return False
+
+
+def _bump_tier2() -> None:
+    TIER_COUNTS["tier2"] += 1
+
+
+def _bump_tier3() -> None:
+    TIER_COUNTS["tier3"] += 1
+
+
+def _count_tier(bump) -> None:
+    """Emit a host callback from the taken cond branch (trace-time gated
+    on transport support)."""
+    if tier_counting_available():
+        jax.debug.callback(bump)
+
 
 def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
                    m_ref, viol_ref, win, win2, fbuf, sem, sem2, *,
@@ -414,15 +456,20 @@ def update_matrices_pallas_batched(R0, R1, flow):
     n_viol = jnp.sum(n_viol_per)
 
     def corrected(m):
+        _count_tier(_bump_tier2)
         return jax.vmap(_correct_violations)(
             m, viol, R0, R1, flow,
             jnp.broadcast_to(sc, (B,) + sc.shape))
 
     from optical_flow_tpu.models.farneback import core as _core
 
+    def full_recompute(m):
+        _count_tier(_bump_tier3)
+        return _core.update_matrices(R0, R1, flow)
+
     M = jax.lax.cond(
         jnp.max(n_viol_per) > VIOL_MAX,
-        lambda m: _core.update_matrices(R0, R1, flow),
+        full_recompute,
         lambda m: jax.lax.cond(n_viol > 0, corrected, lambda x: x, m),
         M)
     return M
@@ -526,6 +573,7 @@ def update_matrices_store(R0p, R1p, flowp, scp, h: int, w: int):
     n_viol = jnp.sum(n_viol_per)
 
     def corrected(m):
+        _count_tier(_bump_tier2)
         m = jax.vmap(functools.partial(
             _correct_violations_store, h=h, w=w))(
                 m, viol, R0p, R1p, flowp,
@@ -534,6 +582,7 @@ def update_matrices_store(R0p, R1p, flowp, scp, h: int, w: int):
         return _fix_col_halos(m, w)
 
     def full_recompute(m):
+        _count_tier(_bump_tier3)
         from optical_flow_tpu.models.farneback import core as _core
         sl = (slice(None), slice(None), slice(ROW_OFF, ROW_OFF + h),
               slice(COL_OFF, COL_OFF + w))

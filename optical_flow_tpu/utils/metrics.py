@@ -56,4 +56,15 @@ class PipelineMetrics:
             parts.append(f"{pairs} pairs ({pairs / total:.1f} pairs/s)")
         for k, v in sorted(self.stages.items()):
             parts.append(f"{k}={v.seconds:.2f}s/{v.count}x")
+        # exactness-tier observability: content falling off the update
+        # kernel's fast path (motion boundaries, dense noise) is visible,
+        # not silent — see pallas/update_gather.py TIER_COUNTS
+        try:
+            from optical_flow_tpu.pallas.update_gather import TIER_COUNTS
+            if TIER_COUNTS["tier2"] or TIER_COUNTS["tier3"]:
+                parts.append(
+                    f"update-kernel corrections: tier2={TIER_COUNTS['tier2']}"
+                    f" tier3={TIER_COUNTS['tier3']}")
+        except ImportError:        # pragma: no cover - pallas unavailable
+            pass
         logger.info("; ".join(parts))

@@ -82,6 +82,26 @@ class TestUpdateGatherKernel:
             flow[:, 1, 4:, 384:] = 80.0
         self._check(96, 512, mod)
 
+    def test_tier_counters_fire(self):
+        # observability contract: spilled content ticks TIER_COUNTS (host
+        # callbacks work on the CPU backend tests run on)
+        import jax
+        from optical_flow_tpu.pallas import update_gather as ug
+        ug.reset_tier_counts()
+
+        def smooth(flow):
+            flow[:] = 1.5                        # constant: nothing spills
+        self._check(64, 512, smooth)
+        jax.effects_barrier()
+        assert ug.TIER_COUNTS["tier2"] == 0
+
+        def spilled(flow):
+            flow[:, 1, 30:32, 100:160] = 45.0    # escapes the window
+        self._check(64, 512, spilled)
+        jax.effects_barrier()
+        assert ug.TIER_COUNTS["tier2"] >= 1
+        ug.reset_tier_counts()
+
 
 class TestBlurSolveKernel:
     def _psd_M(self, B, H, W, seed=0):
