@@ -65,6 +65,17 @@ def _pick_gauss_fn(h: int, w: int):
     return core.gaussian_blur_reflect101
 
 
+def _pick_gauss_resize_fn(h: int, w: int, out_h: int, out_w: int, s: int):
+    """Fused Pallas smooth+downsample (one kernel instead of full-res blur
+    + separate resize) when the level dims divide exactly by s = 2^k."""
+    if _on_tpu() and min(h, w) >= 64:
+        from optical_flow_tpu.pallas.gauss_resize import (
+            gaussian_blur_resize_pallas, supported)
+        if supported(h, w, out_h, out_w, s):
+            return gaussian_blur_resize_pallas
+    return None
+
+
 def _pick_blur_solve_fn(h: int, w: int, winsize: int, gaussian: bool):
     """Fused Pallas blur+solve on TPU for non-trivial shapes."""
     if _on_tpu() and min(h, w) >= 32 and winsize >= 3:
@@ -101,12 +112,22 @@ def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
         poly_fn = (_pick_poly_exp_fn(lv.height, lv.width)
                    if use_pallas else core.poly_exp)
         kern = gaussian_kernel(lv.smooth_ksize, lv.smooth_sigma)
-        gauss_fn = (_pick_gauss_fn(*prev_f.shape[-2:])
+        h_full, w_full = prev_f.shape[-2:]
+        gauss_fn = (_pick_gauss_fn(h_full, w_full)
                     if use_pallas else core.gaussian_blur_reflect101)
         # both frames as one batch of 2B for the shared smoothing/polyexp
         both = jnp.concatenate([prev_f, nxt_f], axis=0)
-        sm = gauss_fn(both, kern)
-        I = resize_bilinear_f32(sm, lv.width, lv.height)
+        gauss_resize_fn = (_pick_gauss_resize_fn(
+            h_full, w_full, lv.height, lv.width, 2 ** lv.k)
+            if use_pallas else None)
+        if gauss_resize_fn is not None:
+            # smooth + downsample in one kernel (s-fold compute saving)
+            I = gauss_resize_fn(both, kern, 2 ** lv.k)
+        elif (lv.height, lv.width) == (h_full, w_full):
+            I = gauss_fn(both, kern)     # k == 0: resize is the identity
+        else:
+            sm = gauss_fn(both, kern)
+            I = resize_bilinear_f32(sm, lv.width, lv.height)
         Rb = poly_fn(I, cfg.poly_n, cfg.poly_sigma)
         R0, R1 = Rb[:B], Rb[B:]
 

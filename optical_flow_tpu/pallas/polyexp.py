@@ -66,31 +66,39 @@ def _kernel(ip_hbm, r_ref, win, sem, *, n: int, pad: int, wp: int,
         row1 = a1 if row1 is None else row1 + a1
         row2 = a2 if row2 is None else row2 + a2
 
-    # horizontal pass: output lane x corresponds to padded col x + pad
-    b1 = b2 = b3 = b4 = b5 = b6 = None
-    for k in range(2 * n + 1):
-        sl = slice(pad - n + k, pad - n + k + out_w)
-        t0 = row0[:, sl]
-        t1 = row1[:, sl]
-        t2 = row2[:, sl]
-        u1 = t0 * jnp.float32(g[k])
-        u2 = t0 * jnp.float32(xg[k])
-        u3 = t1 * jnp.float32(g[k])
-        u4 = t0 * jnp.float32(xxg[k])
-        u5 = t2 * jnp.float32(g[k])
-        u6 = t1 * jnp.float32(xg[k])
-        b1 = u1 if b1 is None else b1 + u1
-        b2 = u2 if b2 is None else b2 + u2
-        b3 = u3 if b3 is None else b3 + u3
-        b4 = u4 if b4 is None else b4 + u4
-        b5 = u5 if b5 is None else b5 + u5
-        b6 = u6 if b6 is None else b6 + u6
+    # horizontal pass: output lane x corresponds to padded col x + pad;
+    # width-chunked so the unrolled-tap temporaries fit the VMEM stack at
+    # 4K (same scheme as blur_solve.py)
+    XCHUNK = min(out_w, 1024)
+    for x0 in range(0, out_w, XCHUNK):
+        cw = min(XCHUNK, out_w - x0)
+        b1 = b2 = b3 = b4 = b5 = b6 = None
+        for k in range(2 * n + 1):
+            sl = slice(pad - n + k + x0, pad - n + k + x0 + cw)
+            t0 = row0[:, sl]
+            t1 = row1[:, sl]
+            t2 = row2[:, sl]
+            u1 = t0 * jnp.float32(g[k])
+            u2 = t0 * jnp.float32(xg[k])
+            u3 = t1 * jnp.float32(g[k])
+            u4 = t0 * jnp.float32(xxg[k])
+            u5 = t2 * jnp.float32(g[k])
+            u6 = t1 * jnp.float32(xg[k])
+            b1 = u1 if b1 is None else b1 + u1
+            b2 = u2 if b2 is None else b2 + u2
+            b3 = u3 if b3 is None else b3 + u3
+            b4 = u4 if b4 is None else b4 + u4
+            b5 = u5 if b5 is None else b5 + u5
+            b6 = u6 if b6 is None else b6 + u6
 
-    r_ref[0, 0] = b3 * jnp.float32(ig11)                       # b_y
-    r_ref[0, 1] = b2 * jnp.float32(ig11)                       # b_x
-    r_ref[0, 2] = b1 * jnp.float32(ig03) + b5 * jnp.float32(ig33)  # a_yy
-    r_ref[0, 3] = b1 * jnp.float32(ig03) + b4 * jnp.float32(ig33)  # a_xx
-    r_ref[0, 4] = b6 * jnp.float32(ig55)                       # a_xy
+        osl = slice(x0, x0 + cw)
+        r_ref[0, 0, :, osl] = b3 * jnp.float32(ig11)               # b_y
+        r_ref[0, 1, :, osl] = b2 * jnp.float32(ig11)               # b_x
+        r_ref[0, 2, :, osl] = (b1 * jnp.float32(ig03)
+                               + b5 * jnp.float32(ig33))           # a_yy
+        r_ref[0, 3, :, osl] = (b1 * jnp.float32(ig03)
+                               + b4 * jnp.float32(ig33))           # a_xx
+        r_ref[0, 4, :, osl] = b6 * jnp.float32(ig55)               # a_xy
 
 
 @functools.lru_cache(maxsize=64)

@@ -24,12 +24,13 @@ def interpret_mode():
     import optical_flow_tpu.pallas.polyexp as pe
     import optical_flow_tpu.pallas.gauss as ga
     import optical_flow_tpu.pallas.colorize as cz
-    for m in (ug, bs, pe, ga, cz):
+    import optical_flow_tpu.pallas.gauss_resize as gr
+    for m in (ug, bs, pe, ga, cz, gr):
         m._build.cache_clear()
     bs._build_store.cache_clear()
     yield
     pl.pallas_call = orig
-    for m in (ug, bs, pe, ga, cz):
+    for m in (ug, bs, pe, ga, cz, gr):
         m._build.cache_clear()
     bs._build_store.cache_clear()
 
@@ -205,6 +206,53 @@ class TestGaussKernel:
         out = np.asarray(gaussian_blur_pallas(img, taps))
         ref = np.asarray(core.gaussian_blur_reflect101(img, taps))
         np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-5)
+
+
+class TestPolyExpKernel:
+    @pytest.mark.parametrize("H,W", [
+        (32, 256),
+        (40, 130),        # unaligned
+        (32, 1200),       # crosses the 1024 horizontal chunk boundary
+    ])
+    def test_matches_core(self, H, W):
+        from optical_flow_tpu.models.farneback import core
+        from optical_flow_tpu.pallas.polyexp import poly_exp_pallas
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.uniform(0, 255, (2, H, W)).astype(np.float32))
+        out = np.asarray(poly_exp_pallas(img, 5, 1.2))
+        ref = np.asarray(core.poly_exp(img, 5, 1.2))
+        np.testing.assert_allclose(out, ref, atol=2e-2, rtol=1e-5)
+
+
+class TestGaussResizeKernel:
+    @pytest.mark.parametrize("H,W,s,ks,sigma", [
+        (64, 256, 2, 3, 0.5),       # level 1 params
+        (128, 256, 4, 9, 1.5),      # level 2
+        (256, 384, 8, 17, 3.5),     # level 3
+        (48, 136, 2, 3, 0.5),       # non-128-multiple width
+    ])
+    def test_matches_gauss_then_resize(self, H, W, s, ks, sigma):
+        from optical_flow_tpu.models.farneback.core import (
+            gaussian_blur_reflect101)
+        from optical_flow_tpu.models.farneback.params import gaussian_kernel
+        from optical_flow_tpu.ops.resize import resize_bilinear_f32
+        from optical_flow_tpu.pallas.gauss_resize import (
+            gaussian_blur_resize_pallas, supported)
+        assert supported(H, W, H // s, W // s, s)
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.uniform(0, 255, (2, H, W)).astype(np.float32))
+        taps = gaussian_kernel(ks, sigma)
+        ref = resize_bilinear_f32(gaussian_blur_reflect101(img, taps),
+                                  W // s, H // s)
+        out = gaussian_blur_resize_pallas(img, taps, s)
+        # f32 reassociation only (combined taps vs blur-then-lerp)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-3, rtol=1e-5)
+
+    def test_rejects_inexact_division(self):
+        from optical_flow_tpu.pallas.gauss_resize import supported
+        assert not supported(135, 240, 67, 120, 2)   # odd height
+        assert not supported(64, 256, 64, 256, 1)    # s == 1
 
 
 class TestColorizeKernel:
