@@ -95,7 +95,7 @@ def _box_h(arr, out_cols, *, m, pad, taps, fac):
 
 
 def _blur_solve_body(window, flow_ref, *, m, pad, out_w, col0, inv_area,
-                     taps, fac):
+                     taps, fac, out_rows=TILE_H):
     """Shared band body: window (5, rows, >=out_w+2*pad) -> flow band
     written at column offset col0 (chunked so temporaries fit VMEM)."""
     XCHUNK = min(out_w, 1024)
@@ -104,7 +104,7 @@ def _blur_solve_body(window, flow_ref, *, m, pad, out_w, col0, inv_area,
         outs = []
         for c in range(5):
             wc = window[c, :, x0: x0 + cw + 2 * pad]   # (rows, cw+2pad)
-            v = _box_v(wc, TILE_H, m=m, pad=pad, taps=taps, fac=fac)
+            v = _box_v(wc, out_rows, m=m, pad=pad, taps=taps, fac=fac)
             hsum = _box_h(v, cw, m=m, pad=pad, taps=taps, fac=fac)
             outs.append(hsum * jnp.float32(inv_area))
 
@@ -205,22 +205,24 @@ _PAD_S = 8   # halo depth baked into the store layout (requires m <= 8)
 
 
 def _kernel_store(mst_hbm, flow_ref, win, sem, *, m: int, Ws: int,
-                  n_bands: int, inv_area: float, taps):
-    """Bands are the 16-row groups of the store layout.  Band b's outputs
-    (store rows [16b, 16b+16), i.e. logical rows [16b-16, 16b)) tap store
-    rows [16b-7+rr .. 16b+7+rr), all inside the window anchored at
-    16b - 8 — so the tap arithmetic is identical to _kernel's, with the
-    store row shift (ROW_OFF=16) playing the role of the replicate pad.
-    Bands 0 and n_bands-1 are pure halo: written as zeros."""
+                  n_bands: int, inv_area: float, taps, tile_h: int):
+    """Bands are the tile_h-row groups of the store layout.  Band b's
+    outputs (store rows [T*b, T*b+T), i.e. logical rows [T*b-ROW_OFF, ...))
+    tap store rows [T*b-7+rr .. T*b+7+rr), all inside the window anchored
+    at T*b - 8 — the tap arithmetic is identical to _kernel's, with the
+    store row shift playing the role of the replicate pad.  Bands 0 and
+    n_bands-1 are pure halo (requires ROW_OFF >= tile_h): written as
+    zeros, which also keeps every middle band's window anchor T*b - 8
+    in-bounds without clipping."""
     gi = pl.program_id(0)
     n_total = pl.num_programs(0)
     Hs = mst_hbm.shape[2]
-    rows = 2 * _PAD_S + TILE_H
+    rows = 2 * _PAD_S + tile_h
 
     def dma(slot, step):
         b = step // n_bands
         i = step % n_bands
-        a = jnp.clip(i * TILE_H - _PAD_S, 0, Hs - rows)
+        a = jnp.clip(i * tile_h - _PAD_S, 0, Hs - rows)
         return pltpu.make_async_copy(
             mst_hbm.at[b, :, pl.ds(pl.multiple_of(a, 8), rows), :],
             win.at[slot], sem.at[slot])
@@ -243,30 +245,34 @@ def _kernel_store(mst_hbm, flow_ref, win, sem, *, m: int, Ws: int,
 
     @pl.when(is_halo)
     def _():
-        flow_ref[0, 0] = jnp.zeros((TILE_H, Ws), jnp.float32)
-        flow_ref[0, 1] = jnp.zeros((TILE_H, Ws), jnp.float32)
+        flow_ref[0, 0] = jnp.zeros((tile_h, Ws), jnp.float32)
+        flow_ref[0, 1] = jnp.zeros((tile_h, Ws), jnp.float32)
 
     @pl.when(jnp.logical_not(is_halo))
     def _():
         # column halos of the flow output: don't-care, kept finite (zero)
-        flow_ref[0, 0, :, :_PAD_S] = jnp.zeros((TILE_H, _PAD_S), jnp.float32)
-        flow_ref[0, 1, :, :_PAD_S] = jnp.zeros((TILE_H, _PAD_S), jnp.float32)
-        flow_ref[0, 0, :, Ws - _PAD_S:] = jnp.zeros((TILE_H, _PAD_S),
+        flow_ref[0, 0, :, :_PAD_S] = jnp.zeros((tile_h, _PAD_S), jnp.float32)
+        flow_ref[0, 1, :, :_PAD_S] = jnp.zeros((tile_h, _PAD_S), jnp.float32)
+        flow_ref[0, 0, :, Ws - _PAD_S:] = jnp.zeros((tile_h, _PAD_S),
                                                     jnp.float32)
-        flow_ref[0, 1, :, Ws - _PAD_S:] = jnp.zeros((TILE_H, _PAD_S),
+        flow_ref[0, 1, :, Ws - _PAD_S:] = jnp.zeros((tile_h, _PAD_S),
                                                     jnp.float32)
         fac = None if taps is not None else _factor(2 * m + 1)
         _blur_solve_body(win[slot], flow_ref, m=m, pad=_PAD_S,
                          out_w=Ws - 2 * _PAD_S, col0=_PAD_S,
-                         inv_area=inv_area, taps=taps, fac=fac)
+                         inv_area=inv_area, taps=taps, fac=fac,
+                         out_rows=tile_h)
 
 
 @functools.lru_cache(maxsize=64)
-def _build_store(batch: int, Hs: int, Ws: int, winsize: int, gaussian: bool):
+def _build_store(batch: int, Hs: int, Ws: int, winsize: int, gaussian: bool,
+                 tile_h: int = TILE_H):
     m = winsize // 2
     if m > _PAD_S:
         raise ValueError(f"store layout supports winsize <= {2*_PAD_S+1}")
-    rows = 2 * _PAD_S + TILE_H
+    if Hs % tile_h:
+        raise ValueError(f"Hs={Hs} not divisible by tile_h={tile_h}")
+    rows = 2 * _PAD_S + tile_h
 
     if gaussian:
         taps = tuple(float(t) for t in gaussian_window_kernel(winsize))
@@ -275,13 +281,13 @@ def _build_store(batch: int, Hs: int, Ws: int, winsize: int, gaussian: bool):
         taps = None
         inv_area = 1.0 / (winsize * winsize)
 
-    n_bands = Hs // TILE_H
+    n_bands = Hs // tile_h
     kernel = pl.pallas_call(
         functools.partial(_kernel_store, m=m, Ws=Ws, n_bands=n_bands,
-                          inv_area=inv_area, taps=taps),
+                          inv_area=inv_area, taps=taps, tile_h=tile_h),
         grid=(batch * n_bands,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],   # M store (HBM)
-        out_specs=pl.BlockSpec((1, 2, TILE_H, Ws), _omap(n_bands),
+        out_specs=pl.BlockSpec((1, 2, tile_h, Ws), _omap(n_bands),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((batch, 2, Hs, Ws), jnp.float32),
         scratch_shapes=[
@@ -292,9 +298,17 @@ def _build_store(batch: int, Hs: int, Ws: int, winsize: int, gaussian: bool):
     return kernel
 
 
-def blur_solve_store(Mst, winsize: int, gaussian: bool = False):
+def blur_solve_store(Mst, winsize: int, gaussian: bool = False,
+                     tile_h: int = TILE_H):
     """Fused blur+solve on store-layout M: (B, 5, Hs, Ws) -> flow
     (B, 2, Hs, Ws) in the same layout.  M must carry valid replicate
-    halos (update_matrices_store provides them); no XLA-side copies."""
+    halos (update_matrices_store provides them); no XLA-side copies.
+
+    tile_h = 32 (requires a store layout whose first/last 32-row bands are
+    pure halo) halves the grid-step count.  Measured perf-neutral at 1080p
+    on v5e — the kernel is vector-compute-bound, not step-overhead-bound —
+    so the fused loop keeps the default 16."""
     B, _, Hs, Ws = Mst.shape
-    return _build_store(B, Hs, Ws, winsize, gaussian)(Mst)
+    if Hs % tile_h:
+        tile_h = TILE_H
+    return _build_store(B, Hs, Ws, winsize, gaussian, tile_h)(Mst)
