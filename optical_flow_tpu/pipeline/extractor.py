@@ -26,6 +26,7 @@ pairs run through the vmapped Farnebäck pyramid in fixed-size chunks.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import List, Sequence, Tuple
 
@@ -65,13 +66,47 @@ def _window_schedule(tot_frames: int, fps: float, step_ms: int, window_ms: int):
     return windows, step
 
 
+@functools.lru_cache(maxsize=1)
+def _dp_mesh():
+    """A pure-data-parallel mesh over all local devices, or None on a
+    single-device host (OFT_DISABLE_MESH=1 forces single-device)."""
+    if os.environ.get("OFT_DISABLE_MESH") == "1":
+        return None
+    import jax
+    if jax.local_device_count() <= 1:
+        return None
+    from optical_flow_tpu.parallel.mesh import make_mesh
+    return make_mesh(n_spatial=1)
+
+
 def _magnitude_sums(prev_batch, next_batch,
                     config: ExtractorConfig):
     """Summed flow magnitude per frame pair — `np.sum(mag)` of
     `calculate_optical_flow` (`optical_flow.py:49-66`), batched on device.
 
+    On a multi-device host (v5e-8 etc.) the batch is sharded over a
+    data-parallel mesh — each chip runs the full per-shard pyramid
+    including the Pallas kernels (BASELINE config 5); dp sharding is
+    numerically exact, so outputs are identical to the one-device path.
+
     Returns a DEVICE array (B,); callers convert at the end so chunks
     pipeline without a host sync each."""
+    mesh = _dp_mesh()
+    if mesh is not None:
+        from optical_flow_tpu.parallel.mesh import sharded_extract_step
+        n = mesh.devices.size
+        b = len(prev_batch)
+        padded = -(-b // n) * n              # pad to a device multiple by
+        if padded != b:                      # replicating the last pair
+            reps = [prev_batch[-1]] * (padded - b)
+            prev_batch = jnp.concatenate(
+                [jnp.asarray(prev_batch), jnp.stack(reps)])
+            reps = [next_batch[-1]] * (padded - b)
+            next_batch = jnp.concatenate(
+                [jnp.asarray(next_batch), jnp.stack(reps)])
+        sums = sharded_extract_step(mesh, jnp.asarray(prev_batch),
+                                    jnp.asarray(next_batch), config.farneback)
+        return sums[:b]
     flow = calc_flow_batched(jnp.asarray(prev_batch), jnp.asarray(next_batch),
                              config.farneback)
     mag, _ = cart_to_polar(flow[..., 0], flow[..., 1])

@@ -135,3 +135,32 @@ class TestCorpusSharding:
             shard_videoids(["a"], 2, 2)
         with pytest.raises(ValueError):
             shard_videoids(["a"], 0, 0)
+
+
+class TestExtractorMeshPath:
+    def test_mesh_matches_single_device(self, tmp_path, monkeypatch):
+        """The extractor's device step auto-shards over all local devices
+        (BASELINE config 5); dp sharding must not change the CSV-visible
+        numbers vs the one-device path."""
+        import numpy as np
+        from optical_flow_tpu.oracle.synthetic import write_synthetic_video
+        from optical_flow_tpu.pipeline import extractor
+        from optical_flow_tpu.utils.config import ExtractorConfig
+
+        path = str(tmp_path / "clip.mp4")
+        write_synthetic_video(path, n_frames=40, h=120, w=160, fps=25.0)
+        cfg = ExtractorConfig()
+
+        assert extractor._dp_mesh() is not None   # 8-device test mesh
+        mesh_mags, mesh_ts = extractor.extract_video(path, cfg)
+
+        monkeypatch.setenv("OFT_DISABLE_MESH", "1")
+        extractor._dp_mesh.cache_clear()
+        try:
+            assert extractor._dp_mesh() is None
+            solo_mags, solo_ts = extractor.extract_video(path, cfg)
+        finally:
+            extractor._dp_mesh.cache_clear()
+
+        assert mesh_ts == solo_ts
+        np.testing.assert_allclose(mesh_mags, solo_mags, rtol=1e-4)
