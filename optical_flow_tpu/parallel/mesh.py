@@ -100,6 +100,42 @@ def sharded_flow_step(mesh: Mesh, prev, nxt,
 
 
 @functools.lru_cache(maxsize=32)
+def _sharded_bgr_fn(mesh: Mesh, h: int, w: int, config: FarnebackConfig):
+    """The visualizer's device step, dp-sharded: flow pyramid + the
+    reference-exact colorization per shard (Pallas kernels on TPU)."""
+    plan = build_plan(h, w, config)
+    from optical_flow_tpu.models.farneback.flow import _on_tpu
+    use_pallas = _on_tpu()
+
+    def per_shard(prev, nxt):
+        flow = _flow_pyramid(prev.astype(jnp.float32),
+                             nxt.astype(jnp.float32), plan,
+                             use_pallas=use_pallas)
+        if use_pallas and min(h, w) >= 32:
+            from optical_flow_tpu.pallas.colorize import (
+                flow_to_bgr_planar_pallas)
+            return flow_to_bgr_planar_pallas(flow)
+        from optical_flow_tpu.ops.colorize import flow_to_bgr_u8
+        return jnp.moveaxis(flow_to_bgr_u8(jnp.moveaxis(flow, 1, -1)),
+                            -1, 1)
+
+    fn = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P("data", None, None), P("data", None, None)),
+        out_specs=P("data", None, None, None),
+        check_vma=False)
+    return jax.jit(fn)
+
+
+def sharded_bgr_step(mesh: Mesh, prev, nxt,
+                     config: FarnebackConfig = FarnebackConfig()):
+    """(B, H, W) gray pairs -> planar BGR uint8 (B, 3, H, W), dp sharded
+    (the per-frame min-max normalize is per-image, so dp is exact)."""
+    _, h, w = prev.shape
+    return _sharded_bgr_fn(mesh, h, w, config)(prev, nxt)
+
+
+@functools.lru_cache(maxsize=32)
 def _sharded_extract_fn(mesh: Mesh, h: int, w: int, config: FarnebackConfig):
     plan = build_plan(h, w, config)
     in_s = NamedSharding(mesh, P("data", "spatial", None))

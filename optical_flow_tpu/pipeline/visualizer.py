@@ -119,8 +119,26 @@ def visualize_shot(v_path: str, images_path: str, start_ms: int, end_ms: int,
             prev = jnp.stack([gray[i - 1] for i in pend])
             nxt = jnp.stack([gray[i] for i in pend])
             # pyramid + colorization fused into one device program
-            # (Pallas colorize kernel on TPU): async device dispatch
-            dev = calc_flow_bgr_batched(prev, nxt, config.farneback)
+            # (Pallas colorize kernel on TPU): async device dispatch;
+            # dp-sharded over all local devices when there are several
+            from optical_flow_tpu.pipeline.extractor import _dp_mesh
+            mesh = _dp_mesh()
+            if mesh is not None:
+                from optical_flow_tpu.parallel.mesh import sharded_bgr_step
+                n = mesh.devices.size
+                b = prev.shape[0]
+                padded = -(-b // n) * n
+                if padded != b:
+                    prev = jnp.concatenate(
+                        [prev, jnp.broadcast_to(prev[-1:],
+                                                (padded - b,) + prev.shape[1:])])
+                    nxt = jnp.concatenate(
+                        [nxt, jnp.broadcast_to(nxt[-1:],
+                                               (padded - b,) + nxt.shape[1:])])
+                dev = sharded_bgr_step(mesh, prev, nxt,
+                                       config.farneback)[:b]
+            else:
+                dev = calc_flow_bgr_batched(prev, nxt, config.farneback)
         metrics.add("frame_pairs", len(pend))
         for i in pend:
             gray[i - 1] = None     # frame pairs are consecutive; i-1 done
