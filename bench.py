@@ -106,6 +106,10 @@ def epe_vs_cv2(f1, f2, ours0):
 
 
 def main():
+    # reuse this machine's compiled kernels across bench runs (the driver
+    # runs bench in a fresh process; Mosaic compiles dominate cold runs)
+    from optical_flow_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     from optical_flow_tpu.oracle import (motion_boundary_pair,
                                          smooth_texture_pair)
 
