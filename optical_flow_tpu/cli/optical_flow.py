@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--robust", action="store_true",
                         help="skip videos that fail instead of aborting "
                              "the whole corpus run")
+    parser.add_argument("--video_workers", type=int, default=1,
+                        help="videos processed concurrently (threads; "
+                             "overlaps per-video decode/host work while "
+                             "device dispatch serializes) — default 1 "
+                             "matches the reference's sequential loop")
     return parser
 
 
@@ -79,7 +84,7 @@ def main(argv=None) -> None:
     if num_workers > 1:
         videoids = shard_videoids(videoids, worker_index, num_workers)
     run_corpus(args.features_root, videoids, config, progress=tqdm,
-               robust=args.robust)
+               robust=args.robust, video_workers=args.video_workers)
 
 
 if __name__ == "__main__":

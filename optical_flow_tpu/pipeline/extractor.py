@@ -235,9 +235,33 @@ def scale_magnitudes(mag: Sequence[float], top_percentile: int):
     return list(np.round(scaled, decimals=2))
 
 
+def _process_one(features_root: str, videoid: str,
+                 config: ExtractorConfig) -> bool:
+    """One video of the corpus loop: paths, .done gate, extract, CSV.
+
+    Returns True if work ran (or was skipped cleanly); raises on failure.
+    """
+    features_dir = os.path.join(features_root, videoid, EXTRACTOR)
+    v_path = os.path.join(features_root, videoid, "media",
+                          videoid + ".mp4")
+    if not os.path.isdir(features_dir):
+        os.makedirs(features_dir)
+    f_path_csv = os.path.join(features_dir, f"{videoid}.csv")
+    sentinel = DoneSentinel(features_dir, config.done_version)
+
+    if not sentinel.is_done() or config.force_run == "True":
+        aggregated, timestamps = extract_video(v_path, config)
+        scaled = scale_magnitudes(aggregated, config.top_percentile)
+        write_mag_to_csv(f_path_csv, scaled, timestamps)
+        sentinel.mark_done()
+    else:
+        logger.info("optical flow was already done")
+    return True
+
+
 def run_corpus(features_root: str, videoids: Sequence[str],
                config: ExtractorConfig, progress=None,
-               robust: bool = False) -> list:
+               robust: bool = False, video_workers: int = 1) -> list:
     """Corpus driver (`optical_flow.py:135-168`): paths, .done gating, CSV.
 
     robust=True turns per-video failures into logged skips instead of
@@ -245,25 +269,22 @@ def run_corpus(features_root: str, videoids: Sequence[str],
     jobs (SURVEY.md section 5, failure detection); the default matches
     the reference (first failure raises).  Returns the list of failed
     videoids (empty unless robust).
+
+    video_workers > 1 overlaps whole videos in threads.  Measured on a
+    local-disk corpus this is NEUTRAL (0.9-1.0x): the per-video
+    segment-parallel decode (pipeline/prefetch.py) already saturates the
+    host's decode cores.  It exists for corpora where per-video decode is
+    latency-bound instead (network storage, sparse-keyframe seeks).
+    Output/`.done` semantics are per-video and unaffected; the default 1
+    is strictly sequential like the reference.
     """
     logger.info("Computing optical flow for {0} videos".format(len(videoids)))
-    iterator = progress(videoids) if progress else videoids
     failures = []
-    for videoid in iterator:
-        features_dir = os.path.join(features_root, videoid, EXTRACTOR)
-        v_path = os.path.join(features_root, videoid, "media",
-                              videoid + ".mp4")
-        if not os.path.isdir(features_dir):
-            os.makedirs(features_dir)
-        f_path_csv = os.path.join(features_dir, f"{videoid}.csv")
-        sentinel = DoneSentinel(features_dir, config.done_version)
-
-        if not sentinel.is_done() or config.force_run == "True":
+    if video_workers <= 1:
+        iterator = progress(videoids) if progress else videoids
+        for videoid in iterator:
             try:
-                aggregated, timestamps = extract_video(v_path, config)
-                scaled = scale_magnitudes(aggregated, config.top_percentile)
-                write_mag_to_csv(f_path_csv, scaled, timestamps)
-                sentinel.mark_done()
+                _process_one(features_root, videoid, config)
             except Exception as e:
                 if not robust:
                     raise
@@ -271,6 +292,28 @@ def run_corpus(features_root: str, videoids: Sequence[str],
                 logger.warning(
                     "skipping %s after failure: %s: %s",
                     videoid, type(e).__name__, e)
-        else:
-            logger.info("optical flow was already done")
+        return failures
+
+    import concurrent.futures as cf
+    with cf.ThreadPoolExecutor(max_workers=video_workers) as pool:
+        futs = {pool.submit(_process_one, features_root, v, config): v
+                for v in videoids}
+        done_iter = cf.as_completed(futs)
+        if progress:
+            done_iter = progress(done_iter, total=len(futs))
+        first_error = None
+        for fut in done_iter:
+            videoid = futs[fut]
+            try:
+                fut.result()
+            except Exception as e:
+                if robust:
+                    failures.append(videoid)
+                    logger.warning(
+                        "skipping %s after failure: %s: %s",
+                        videoid, type(e).__name__, e)
+                elif first_error is None:
+                    first_error = e
+        if first_error is not None:
+            raise first_error
     return failures

@@ -269,3 +269,48 @@ class TestCorpusRace:
         a = open(os.path.join(root, "v0", "opticalflow", "v0.csv")).read()
         b = open(os.path.join(root, "v1", "opticalflow", "v1.csv")).read()
         assert a == b
+
+
+class TestVideoWorkers:
+    def test_parallel_corpus_matches_sequential(self, tmp_path):
+        """video_workers>1 overlaps per-video host work; outputs must be
+        byte-identical to the sequential loop, and robust mode must still
+        isolate failures per video."""
+        from optical_flow_tpu.pipeline.extractor import run_corpus
+
+        seq_root = str(tmp_path / "seq")
+        par_root = str(tmp_path / "par")
+        vids = ["a1", "b2", "c3"]
+        for root in (seq_root, par_root):
+            for i, v in enumerate(vids):
+                os.makedirs(os.path.join(root, v, "media"))
+                write_synthetic_video(
+                    os.path.join(root, v, "media", v + ".mp4"),
+                    n_frames=25 + 5 * i, h=96, w=128, fps=25.0, seed=i)
+            # plus one corrupt video for the robust check
+            os.makedirs(os.path.join(root, "bad", "media"))
+            with open(os.path.join(root, "bad", "media", "bad.mp4"),
+                      "wb") as f:
+                f.write(b"junk")
+
+        cfg = ExtractorConfig()
+        f_seq = run_corpus(seq_root, vids + ["bad"], cfg, robust=True)
+        f_par = run_corpus(par_root, vids + ["bad"], cfg, robust=True,
+                           video_workers=3)
+        assert f_seq == ["bad"] and f_par == ["bad"]
+        for v in vids:
+            with open(os.path.join(seq_root, v, "opticalflow",
+                                   v + ".csv")) as f:
+                seq_csv = f.read()
+            with open(os.path.join(par_root, v, "opticalflow",
+                                   v + ".csv")) as f:
+                assert f.read() == seq_csv, v
+
+    def test_parallel_nonrobust_raises(self, tmp_path):
+        from optical_flow_tpu.pipeline.extractor import run_corpus
+        root = str(tmp_path)
+        os.makedirs(os.path.join(root, "bad", "media"))
+        with open(os.path.join(root, "bad", "media", "bad.mp4"), "wb") as f:
+            f.write(b"junk")
+        with pytest.raises(Exception):
+            run_corpus(root, ["bad"], ExtractorConfig(), video_workers=2)
