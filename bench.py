@@ -152,6 +152,43 @@ def main():
     except Exception as e:  # pragma: no cover - report, don't hide
         extra["motion_boundary"] = {"error": repr(e)}
 
+    # --- chained pairs (the visualizer's workload: consecutive sampled
+    # frames, each interior frame smoothed/expanded once) ---
+    try:
+        import jax as _jax
+        import jax.numpy as _jnp
+        from optical_flow_tpu.models.farneback import calc_flow_chain_batched
+        from optical_flow_tpu.utils.config import FarnebackConfig as _FC
+        N = 17
+        fr = np.stack([np.roll(f1, (2 * i, 3 * i), (0, 1))
+                       for i in range(N)])
+        rng = np.random.default_rng(0)
+        sets = [_jax.device_put(fr + rng.integers(0, 2, fr.shape)
+                                .astype(fr.dtype)) for _ in range(4)]
+        cfg = _FC()
+
+        def _sync(x):
+            float(_jnp.sum(x[:, ::97, ::97]))
+
+        _sync(calc_flow_chain_batched(sets[0], cfg))
+        for s in sets:
+            _sync(calc_flow_chain_batched(s, cfg))
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            outs = [calc_flow_chain_batched(s, cfg) for s in sets]
+            _sync(outs[-1])
+            times.append((time.perf_counter() - t0) / len(sets))
+        cdt = float(np.median(times))
+        extra["chained_pairs"] = {
+            "pairs_per_s": round((N - 1) / cdt, 1),
+            "frames": N,
+            "vs_baseline": round(
+                ((N - 1) / cdt) / base["cv2_single_thread_pairs_per_s"], 1),
+        }
+    except Exception as e:  # pragma: no cover - report, don't hide
+        extra["chained_pairs"] = {"error": repr(e)}
+
     # --- hard config 2: 4K, batch 4 (HBM-bound) ---
     try:
         u1, u2 = smooth_texture_pair(2160, 3840, (3, 5))

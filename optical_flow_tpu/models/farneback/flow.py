@@ -98,15 +98,26 @@ def _pick_fused_update_flow(h: int, w: int, winsize: int):
 
 
 def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
-                  initial_flow=None):
+                  initial_flow=None, chain: bool = False):
     """Run the full coarse-to-fine schedule on (B, H, W) f32 frame batches.
 
     initial_flow: optional (B, 2, H, W) seed used at the coarsest level
     (OPTFLOW_USE_INITIAL_FLOW: OpenCV downsamples flow0 with INTER_AREA
     and scales it to the level).  Returns (B, 2, H, W) flow.
+
+    chain=True: prev_f is a batch of N CONSECUTIVE frames (nxt_f must be
+    None) and flow is computed for the N-1 pairs (i, i+1).  Each interior
+    frame's smoothing/resize/polynomial expansion is computed ONCE instead
+    of twice — the visualizer's workload shape
+    (`visualize_optical_flow.py:62`: prev = curr chains every sampled
+    frame into the next pair).
     """
     cfg = plan.config
-    B = prev_f.shape[0]
+    if chain:
+        assert nxt_f is None
+        B = prev_f.shape[0] - 1
+    else:
+        B = prev_f.shape[0]
     flow = None
     for lv in plan.levels:
         poly_fn = (_pick_poly_exp_fn(lv.height, lv.width)
@@ -115,8 +126,8 @@ def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
         h_full, w_full = prev_f.shape[-2:]
         gauss_fn = (_pick_gauss_fn(h_full, w_full)
                     if use_pallas else core.gaussian_blur_reflect101)
-        # both frames as one batch of 2B for the shared smoothing/polyexp
-        both = jnp.concatenate([prev_f, nxt_f], axis=0)
+        # unique frames as one batch for the shared smoothing/polyexp
+        both = prev_f if chain else jnp.concatenate([prev_f, nxt_f], axis=0)
         gauss_resize_fn = (_pick_gauss_resize_fn(
             h_full, w_full, lv.height, lv.width, 2 ** lv.k)
             if use_pallas else None)
@@ -129,7 +140,9 @@ def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
             sm = gauss_fn(both, kern)
             I = resize_bilinear_f32(sm, lv.width, lv.height)
         Rb = poly_fn(I, cfg.poly_n, cfg.poly_sigma)
-        R0, R1 = Rb[:B], Rb[B:]
+        # chain slices are free: the iterate loop pads (copies) its R
+        # operands anyway, and pad-of-slice fuses into the same copy
+        R0, R1 = (Rb[:-1], Rb[1:]) if chain else (Rb[:B], Rb[B:])
 
         if flow is None:
             if initial_flow is not None:
@@ -212,6 +225,65 @@ def calc_flow_bgr_batched(prev, nxt,
         raise ValueError(f"expected (B, H, W), got {prev.shape}")
     _, h, w = prev.shape
     return _jitted_batched_bgr(h, w, config)(prev, nxt)
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_chain(h: int, w: int, config: FarnebackConfig):
+    plan = build_plan(h, w, config)
+    use_pallas = _on_tpu()
+
+    def fn(frames):
+        flow = _flow_pyramid(frames.astype(jnp.float32), None, plan,
+                             use_pallas, chain=True)
+        return jnp.moveaxis(flow, 1, -1)   # (N-1, H, W, 2), cv2 layout
+
+    return jax.jit(fn)
+
+
+def calc_flow_chain_batched(frames,
+                            config: FarnebackConfig = FarnebackConfig()):
+    """Dense flow for the N-1 consecutive pairs of an (N, H, W) frame
+    batch: returns (N-1, H, W, 2) == calc_flow_batched(frames[:-1],
+    frames[1:]) with each interior frame's smooth/resize/polyexp computed
+    once instead of twice (the visualizer's chained workload,
+    `visualize_optical_flow.py:62`)."""
+    if frames.ndim != 3:
+        raise ValueError(f"expected (N, H, W), got {frames.shape}")
+    if frames.shape[0] < 2:
+        raise ValueError("chain needs at least 2 frames")
+    _, h, w = frames.shape
+    return _jitted_chain(h, w, config)(frames)
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_chain_bgr(h: int, w: int, config: FarnebackConfig):
+    plan = build_plan(h, w, config)
+    use_pallas = _on_tpu()
+
+    def fn(frames):
+        flow = _flow_pyramid(frames.astype(jnp.float32), None, plan,
+                             use_pallas, chain=True)
+        if use_pallas and min(h, w) >= 32:
+            from optical_flow_tpu.pallas.colorize import (
+                flow_to_bgr_planar_pallas)
+            return flow_to_bgr_planar_pallas(flow)
+        from optical_flow_tpu.ops.colorize import flow_to_bgr_u8
+        return jnp.moveaxis(flow_to_bgr_u8(jnp.moveaxis(flow, 1, -1)),
+                            -1, 1)
+
+    return jax.jit(fn)
+
+
+def calc_flow_bgr_chain_batched(frames,
+                                config: FarnebackConfig = FarnebackConfig()):
+    """Chained-pair flow + reference-exact colorization: (N, H, W) gray
+    frames -> planar BGR uint8 (N-1, 3, H, W) for the pairs (i, i+1)."""
+    if frames.ndim != 3:
+        raise ValueError(f"expected (N, H, W), got {frames.shape}")
+    if frames.shape[0] < 2:
+        raise ValueError("chain needs at least 2 frames")
+    _, h, w = frames.shape
+    return _jitted_chain_bgr(h, w, config)(frames)
 
 
 @functools.lru_cache(maxsize=64)

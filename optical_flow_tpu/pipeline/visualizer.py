@@ -32,7 +32,7 @@ import numpy as np
 
 from optical_flow_tpu.io.jpeg import write_jpeg_bgr
 from optical_flow_tpu.io.video import VideoReader
-from optical_flow_tpu.models.farneback import calc_flow_bgr_batched
+from optical_flow_tpu.models.farneback import calc_flow_bgr_chain_batched
 from optical_flow_tpu.ops.host import bgr2gray_host
 from optical_flow_tpu.pipeline.prefetch import DecodePrefetcher, pair_chunk_for
 from optical_flow_tpu.utils.config import VisualizerConfig
@@ -116,14 +116,14 @@ def visualize_shot(v_path: str, images_path: str, start_ms: int, end_ms: int,
 
     def flush(pend):
         with metrics.stage("flow"):
-            prev = jnp.stack([gray[i - 1] for i in pend])
-            nxt = jnp.stack([gray[i] for i in pend])
             # pyramid + colorization fused into one device program
             # (Pallas colorize kernel on TPU): async device dispatch;
             # dp-sharded over all local devices when there are several
             from optical_flow_tpu.pipeline.extractor import _dp_mesh
             mesh = _dp_mesh()
             if mesh is not None:
+                prev = jnp.stack([gray[i - 1] for i in pend])
+                nxt = jnp.stack([gray[i] for i in pend])
                 from optical_flow_tpu.parallel.mesh import sharded_bgr_step
                 n = mesh.devices.size
                 b = prev.shape[0]
@@ -138,7 +138,11 @@ def visualize_shot(v_path: str, images_path: str, start_ms: int, end_ms: int,
                 dev = sharded_bgr_step(mesh, prev, nxt,
                                        config.farneback)[:b]
             else:
-                dev = calc_flow_bgr_batched(prev, nxt, config.farneback)
+                # pend is consecutive (i-1, i) pairs: the chained entry
+                # smooths/expands each interior frame once, not twice
+                frames = jnp.stack([gray[pend[0] - 1]]
+                                   + [gray[i] for i in pend])
+                dev = calc_flow_bgr_chain_batched(frames, config.farneback)
         metrics.add("frame_pairs", len(pend))
         for i in pend:
             gray[i - 1] = None     # frame pairs are consecutive; i-1 done

@@ -219,3 +219,43 @@ class TestRandomizedProperty:
             e = epe(calc_flow(f1, f2, cfg), cv_flow(f1, f2, cfg))
             assert e.mean() < 0.5, (
                 f"trial {trial}: h={h} w={w} cfg={cfg} mean EPE {e.mean()}")
+
+
+class TestChainedPairs:
+    def test_chain_matches_batched(self):
+        """calc_flow_chain_batched must equal calc_flow_batched on the
+        shifted pairs (the chained form shares each interior frame's
+        smooth/resize/polyexp between its two pairs)."""
+        import numpy as np
+        import jax.numpy as jnp
+        from optical_flow_tpu.models.farneback import (calc_flow_batched,
+                                                       calc_flow_chain_batched)
+        from optical_flow_tpu.oracle import smooth_texture_pair
+
+        f = []
+        for s in range(4):
+            a, b = smooth_texture_pair(72, 96, (1 + s % 2, 2), seed=s)
+            f.append(a)
+        frames = jnp.asarray(np.stack(f))
+        chain = np.asarray(calc_flow_chain_batched(frames))
+        ref = np.asarray(calc_flow_batched(frames[:-1], frames[1:]))
+        np.testing.assert_allclose(chain, ref, atol=1e-4, rtol=1e-4)
+
+    def test_chain_bgr_matches_batched(self):
+        import numpy as np
+        import jax.numpy as jnp
+        from optical_flow_tpu.models.farneback import (
+            calc_flow_bgr_batched, calc_flow_bgr_chain_batched)
+        from optical_flow_tpu.oracle import smooth_texture_pair
+
+        f = []
+        for s in range(3):
+            a, _ = smooth_texture_pair(64, 96, (2, 1), seed=10 + s)
+            f.append(a)
+        frames = jnp.asarray(np.stack(f))
+        chain = np.asarray(calc_flow_bgr_chain_batched(frames))
+        ref = np.asarray(calc_flow_bgr_batched(frames[:-1], frames[1:]))
+        d = np.abs(chain.astype(np.int32) - ref.astype(np.int32))
+        # uint8 quantization boundaries can flip a level on isolated
+        # pixels when FMA contraction differs between the two programs
+        assert d.max() <= 1 and (d > 0).mean() < 1e-3

@@ -314,3 +314,44 @@ class TestVideoWorkers:
             f.write(b"junk")
         with pytest.raises(Exception):
             run_corpus(root, ["bad"], ExtractorConfig(), video_workers=2)
+
+
+class TestVisualizerChainPath:
+    def test_single_device_chain_matches_mesh(self, tmp_path, monkeypatch):
+        """The single-device visualizer uses the chained-pair entry (each
+        interior frame expanded once); its JPEGs must match the dp-mesh
+        path byte-for-byte (same math, different batching)."""
+        from optical_flow_tpu.pipeline import extractor
+        from optical_flow_tpu.pipeline.visualizer import visualize_shot
+
+        video = str(tmp_path / "clip.mp4")
+        write_synthetic_video(video, n_frames=40, h=96, w=128, fps=25.0)
+        mesh_out = str(tmp_path / "mesh")
+        chain_out = str(tmp_path / "chain")
+
+        assert extractor._dp_mesh() is not None
+        n_mesh = visualize_shot(video, mesh_out, 200, 1400)
+
+        monkeypatch.setenv("OFT_DISABLE_MESH", "1")
+        extractor._dp_mesh.cache_clear()
+        try:
+            n_chain = visualize_shot(video, chain_out, 200, 1400)
+        finally:
+            extractor._dp_mesh.cache_clear()
+
+        assert n_mesh == n_chain > 0
+        for name in sorted(os.listdir(mesh_out)):
+            with open(os.path.join(mesh_out, name), "rb") as a, \
+                 open(os.path.join(chain_out, name), "rb") as b:
+                am, bm = a.read(), b.read()
+            if am != bm:
+                # 1-level pre-encode pixel flips (FMA contraction between
+                # the two programs) get locally amplified by the JPEG
+                # round-trip; gate on decoded pixels staying near-equal
+                # (a real sector/scale bug is 50+ levels over whole areas)
+                import cv2
+                da = cv2.imread(os.path.join(mesh_out, name)).astype(int)
+                db = cv2.imread(os.path.join(chain_out, name)).astype(int)
+                d = np.abs(da - db)
+                assert d.max() <= 12, f"{name}: max {d.max()}"
+                assert (d > 2).mean() < 1e-2, f"{name}: {(d > 2).mean()}"
