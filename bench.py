@@ -134,20 +134,21 @@ def main():
     # --- hard config 1: 1080p motion boundary (tier-2 path) ---
     try:
         from optical_flow_tpu.pallas.update_gather import (
-            TIER_COUNTS, reset_tier_counts, tier_counting_available)
+            consume_tier_stats, reset_tier_counts)
         reset_tier_counts()
         b1, b2 = motion_boundary_pair(H, W)
         mb_base = measure_cv2_baseline("1080p_boundary", b1, b2, cache)
         mb_pps, mb_dt, mb_out = measure_config(b1, b2, batch=16, iters=5)
-        counts_ok = tier_counting_available()
+        # device-side counters (threaded out of the jitted programs — no
+        # host callbacks), so they count on every transport incl. axon
+        counts = consume_tier_stats()
         extra["motion_boundary"] = {
             "pairs_per_s": round(mb_pps, 1),
             "vs_baseline": round(
                 mb_pps / mb_base["cv2_single_thread_pairs_per_s"], 1),
             "mean_epe_vs_cv2": round(epe_vs_cv2(b1, b2, mb_out[0]), 4),
-            # None = transport has no host callbacks (axon), not "0 fires"
-            "tier2_fires": TIER_COUNTS["tier2"] if counts_ok else None,
-            "tier3_fires": TIER_COUNTS["tier3"] if counts_ok else None,
+            "tier2_fires": counts["tier2"],
+            "tier3_fires": counts["tier3"],
         }
     except Exception as e:  # pragma: no cover - report, don't hide
         extra["motion_boundary"] = {"error": repr(e)}
@@ -189,6 +190,47 @@ def main():
     except Exception as e:  # pragma: no cover - report, don't hide
         extra["chained_pairs"] = {"error": repr(e)}
 
+    # --- visualizer device path: chained flow + fused colorize to BGR
+    # (pyramid + pallas colorize in ONE program).  Timed on device only
+    # (no download): the tunnel's ~33 MB/s device->host relay would
+    # swamp it here, and regressions in the fused colorize/chain pipeline
+    # are what this row is for (VERDICT round 2, item 10). ---
+    try:
+        import jax as _jax
+        import jax.numpy as _jnp
+        from optical_flow_tpu.models.farneback import (
+            calc_flow_bgr_chain_batched)
+        from optical_flow_tpu.utils.config import FarnebackConfig as _FC
+        N = 17
+        fr = np.stack([np.roll(f1, (2 * i, 3 * i), (0, 1))
+                       for i in range(N)])
+        rng = np.random.default_rng(1)
+        sets = [_jax.device_put(fr + rng.integers(0, 2, fr.shape)
+                                .astype(fr.dtype)) for _ in range(4)]
+        cfg = _FC()
+
+        def _sync_u8(x):
+            float(_jnp.sum(x[:, :, ::97, ::97].astype(_jnp.int32)))
+
+        _sync_u8(calc_flow_bgr_chain_batched(sets[0], cfg))
+        for s in sets:
+            _sync_u8(calc_flow_bgr_chain_batched(s, cfg))
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            outs = [calc_flow_bgr_chain_batched(s, cfg) for s in sets]
+            _sync_u8(outs[-1])
+            times.append((time.perf_counter() - t0) / len(sets))
+        vdt = float(np.median(times))
+        extra["visualizer_bgr_chain"] = {
+            "pairs_per_s": round((N - 1) / vdt, 1),
+            "frames": N,
+            "vs_baseline": round(
+                ((N - 1) / vdt) / base["cv2_single_thread_pairs_per_s"], 1),
+        }
+    except Exception as e:  # pragma: no cover - report, don't hide
+        extra["visualizer_bgr_chain"] = {"error": repr(e)}
+
     # --- hard config 2: 4K, batch 4 (HBM-bound) ---
     try:
         u1, u2 = smooth_texture_pair(2160, 3840, (3, 5))
@@ -216,5 +258,20 @@ def main():
     print(json.dumps(result))
 
 
+def selftest():
+    """On-device Pallas-vs-XLA differential across every kernel (real
+    Mosaic, not interpret — the hardware-truth link for the interpret-mode
+    unit suite).  Prints one JSON object and exits nonzero on failure."""
+    from optical_flow_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+    from optical_flow_tpu.utils.selftest import run_selftest
+    verdict = run_selftest()
+    print(json.dumps(verdict))
+    return 0 if verdict["ok"] else 1
+
+
 if __name__ == "__main__":
+    import sys
+    if "--selftest" in sys.argv:
+        raise SystemExit(selftest())
     main()

@@ -100,6 +100,37 @@ def border_scale_field(h: int, w: int) -> np.ndarray:
     return wy[:, None] * wx[None, :]
 
 
+def _border_axis_weights_traced(n: int, out_n: int, off: int):
+    """1-D factor of the border field as TRACED ops (iota + a handful of
+    scalar-compare selects), replicating border_scale_field's loop
+    exactly, including the double-multiply overlap when n < 2*BORDER.
+    Positions outside [off, off+n) are 0 (the padded/halo region)."""
+    i = jnp.arange(out_n, dtype=jnp.int32) - off
+    wvec = jnp.where((i >= 0) & (i < n), 1.0, 0.0).astype(jnp.float32)
+    for k in range(min(BORDER, n)):
+        bw = jnp.float32(BORDER_WEIGHTS[k])
+        wvec = wvec * jnp.where(i == k, bw, 1.0)
+        wvec = wvec * jnp.where(i == n - 1 - k, bw, 1.0)
+    return wvec
+
+
+def border_scale_field_traced(h: int, w: int, out_h: int = 0,
+                              out_w: int = 0, off_h: int = 0,
+                              off_w: int = 0):
+    """border_scale_field built INSIDE the trace.
+
+    The host version bakes an (H, W) f32 constant into every jitted
+    program that closes over it — 8 MB at 1080p, 132 MB at 8K, which
+    bloats executables/the persistent cache and overflows transports
+    with bounded program uploads (the axon tunnel 413s on the 8K
+    programs).  The separable outer product from two iota-derived
+    vectors is O(1) program size and fuses away at runtime.  Optional
+    out_*/off_* emit the zero-padded / store-layout-shifted variant
+    directly (replaces host-side jnp.pad of the constant)."""
+    return (_border_axis_weights_traced(h, out_h or h, off_h)[:, None]
+            * _border_axis_weights_traced(w, out_w or w, off_w)[None, :])
+
+
 def update_matrices(R0, R1, flow):
     """FarnebackUpdateMatrices: R (..., 5, H, W), flow (..., 2, H, W) ->
     M (..., 5, H, W).
@@ -137,7 +168,7 @@ def update_matrices(R0, R1, flow):
     r2 = (c(R0, 0) - r2) * 0.5 + (r4 * dy + r6 * dx)
     r3 = (c(R0, 1) - r3) * 0.5 + (r6 * dy + r5 * dx)
 
-    sc = jnp.asarray(border_scale_field(H, W))
+    sc = border_scale_field_traced(H, W)
     r2 = r2 * sc
     r3 = r3 * sc
     r4 = r4 * sc
@@ -208,13 +239,20 @@ def solve_flow(Mb, inv_area: float):
 
 def update_flow(R0, R1, flow, winsize: int, iterations: int,
                 gaussian: bool = False, update_fn=None,
-                blur_solve_fn=None):
+                blur_solve_fn=None, update_fn_stats=None):
     """One pyramid level's iterate loop: M -> blur -> solve (x iterations).
 
     update_fn overrides the matrix-update implementation (e.g. the Pallas
     displaced-fetch kernel); blur_solve_fn overrides the fused
     blur+solve (e.g. the Pallas kernel).  Defaults are the XLA paths.
+
+    update_fn_stats (mutually exclusive with update_fn) is an update
+    implementation returning (M, tiers) — the Pallas kernel's
+    observability variant; update_flow then returns (flow, tiers_sum)
+    with the per-iteration (2,) int32 tier vectors summed.
     """
+    if update_fn is not None and update_fn_stats is not None:
+        raise ValueError("pass update_fn or update_fn_stats, not both")
     update_fn = update_fn or update_matrices
     if blur_solve_fn is None:
         if gaussian:
@@ -227,6 +265,14 @@ def update_flow(R0, R1, flow, winsize: int, iterations: int,
     # scan, not a Python loop: the body compiles once per level even when
     # an iteration's update/blur step is an expensive-to-compile Pallas
     # kernel (XLA does not CSE identical pallas custom-calls)
+    if update_fn_stats is not None:
+        def body_s(fl, _):
+            M, tiers = update_fn_stats(R0, R1, fl)
+            return blur_solve_fn(M), tiers
+
+        flow, tiers = jax.lax.scan(body_s, flow, None, length=iterations)
+        return flow, jnp.sum(tiers, axis=0)
+
     def body(fl, _):
         return blur_solve_fn(update_fn(R0, R1, fl)), None
 

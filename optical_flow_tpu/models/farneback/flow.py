@@ -38,15 +38,16 @@ def _on_tpu() -> bool:
         return False
 
 
-def _pick_update_fn(h: int, w: int):
-    """Pallas displaced-fetch kernel on TPU when the level shape qualifies
-    and is large enough to matter; XLA gather otherwise."""
+def _pick_update_fn_stats(h: int, w: int):
+    """The Pallas displaced-fetch kernel's (M, tiers) variant on TPU when
+    the level shape qualifies and is large enough to matter; None means
+    use the XLA gather (no tiers)."""
     if _on_tpu() and min(h, w) >= 64:
         from optical_flow_tpu.pallas.update_gather import (
-            supported_shape, update_matrices_pallas_batched)
+            supported_shape, update_matrices_pallas_batched_stats)
         if supported_shape(h, w):
-            return update_matrices_pallas_batched
-    return core.update_matrices
+            return update_matrices_pallas_batched_stats
+    return None
 
 
 def _pick_poly_exp_fn(h: int, w: int):
@@ -111,6 +112,12 @@ def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
     of twice — the visualizer's workload shape
     (`visualize_optical_flow.py:62`: prev = curr chains every sampled
     frame into the next pair).
+
+    Returns (flow, tiers): tiers is the (2,) int32 sum of the update
+    kernel's exactness-tier flags over all levels/iterations ([tier-2
+    bounded-correction fires, tier-3 full-recompute fires]; zeros on the
+    XLA paths, which have no tiers).  Callers thread it out of their
+    jitted program and hand it to update_gather.note_tier_stats.
     """
     cfg = plan.config
     if chain:
@@ -119,6 +126,7 @@ def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
     else:
         B = prev_f.shape[0]
     flow = None
+    tiers_total = jnp.zeros((2,), jnp.int32)
     for lv in plan.levels:
         poly_fn = (_pick_poly_exp_fn(lv.height, lv.width)
                    if use_pallas else core.poly_exp)
@@ -158,20 +166,36 @@ def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
         fused_fn = (_pick_fused_update_flow(lv.height, lv.width, cfg.winsize)
                     if use_pallas else None)
         if fused_fn is not None:
-            flow = fused_fn(R0, R1, flow, cfg.winsize, cfg.iterations,
-                            gaussian=cfg.gaussian_window)
+            flow, tiers = fused_fn(R0, R1, flow, cfg.winsize, cfg.iterations,
+                                   gaussian=cfg.gaussian_window)
+            tiers_total = tiers_total + tiers
             continue
-        update_fn = (_pick_update_fn(lv.height, lv.width)
-                     if use_pallas else core.update_matrices)
+        update_fn_stats = (_pick_update_fn_stats(lv.height, lv.width)
+                           if use_pallas else None)
         blur_solve_fn = (_pick_blur_solve_fn(lv.height, lv.width,
                                              cfg.winsize,
                                              cfg.gaussian_window)
                          if use_pallas else None)
-        flow = core.update_flow(R0, R1, flow, cfg.winsize, cfg.iterations,
-                                gaussian=cfg.gaussian_window,
-                                update_fn=update_fn,
-                                blur_solve_fn=blur_solve_fn)
-    return flow
+        if update_fn_stats is not None:
+            flow, tiers = core.update_flow(
+                R0, R1, flow, cfg.winsize, cfg.iterations,
+                gaussian=cfg.gaussian_window,
+                update_fn_stats=update_fn_stats,
+                blur_solve_fn=blur_solve_fn)
+            tiers_total = tiers_total + tiers
+        else:
+            flow = core.update_flow(R0, R1, flow, cfg.winsize,
+                                    cfg.iterations,
+                                    gaussian=cfg.gaussian_window,
+                                    blur_solve_fn=blur_solve_fn)
+    return flow, tiers_total
+
+
+def _note_tiers(tiers) -> None:
+    """Stash a finished call's device tier vector for the observability
+    drain (update_gather.consume_tier_stats)."""
+    from optical_flow_tpu.pallas.update_gather import note_tier_stats
+    note_tier_stats(tiers)
 
 
 @functools.lru_cache(maxsize=64)
@@ -180,9 +204,10 @@ def _jitted_batched(h: int, w: int, config: FarnebackConfig):
     use_pallas = _on_tpu()
 
     def fn(prev, nxt):
-        flow = _flow_pyramid(prev.astype(jnp.float32),
-                             nxt.astype(jnp.float32), plan, use_pallas)
-        return jnp.moveaxis(flow, 1, -1)   # (B, H, W, 2), cv2 layout
+        flow, tiers = _flow_pyramid(prev.astype(jnp.float32),
+                                    nxt.astype(jnp.float32), plan,
+                                    use_pallas)
+        return jnp.moveaxis(flow, 1, -1), tiers  # (B, H, W, 2), cv2 layout
 
     return jax.jit(fn)
 
@@ -197,15 +222,16 @@ def _jitted_batched_bgr(h: int, w: int, config: FarnebackConfig):
     use_pallas = _on_tpu()
 
     def fn(prev, nxt):
-        flow = _flow_pyramid(prev.astype(jnp.float32),
-                             nxt.astype(jnp.float32), plan, use_pallas)
+        flow, tiers = _flow_pyramid(prev.astype(jnp.float32),
+                                    nxt.astype(jnp.float32), plan,
+                                    use_pallas)
         if use_pallas and min(h, w) >= 32:
             from optical_flow_tpu.pallas.colorize import (
                 flow_to_bgr_planar_pallas)
-            return flow_to_bgr_planar_pallas(flow)
+            return flow_to_bgr_planar_pallas(flow), tiers
         from optical_flow_tpu.ops.colorize import flow_to_bgr_u8
         return jnp.moveaxis(flow_to_bgr_u8(jnp.moveaxis(flow, 1, -1)),
-                            -1, 1)
+                            -1, 1), tiers
 
     return jax.jit(fn)
 
@@ -224,7 +250,9 @@ def calc_flow_bgr_batched(prev, nxt,
     if prev.ndim != 3:
         raise ValueError(f"expected (B, H, W), got {prev.shape}")
     _, h, w = prev.shape
-    return _jitted_batched_bgr(h, w, config)(prev, nxt)
+    bgr, tiers = _jitted_batched_bgr(h, w, config)(prev, nxt)
+    _note_tiers(tiers)
+    return bgr
 
 
 @functools.lru_cache(maxsize=64)
@@ -233,9 +261,9 @@ def _jitted_chain(h: int, w: int, config: FarnebackConfig):
     use_pallas = _on_tpu()
 
     def fn(frames):
-        flow = _flow_pyramid(frames.astype(jnp.float32), None, plan,
-                             use_pallas, chain=True)
-        return jnp.moveaxis(flow, 1, -1)   # (N-1, H, W, 2), cv2 layout
+        flow, tiers = _flow_pyramid(frames.astype(jnp.float32), None, plan,
+                                    use_pallas, chain=True)
+        return jnp.moveaxis(flow, 1, -1), tiers  # (N-1, H, W, 2)
 
     return jax.jit(fn)
 
@@ -252,7 +280,9 @@ def calc_flow_chain_batched(frames,
     if frames.shape[0] < 2:
         raise ValueError("chain needs at least 2 frames")
     _, h, w = frames.shape
-    return _jitted_chain(h, w, config)(frames)
+    flow, tiers = _jitted_chain(h, w, config)(frames)
+    _note_tiers(tiers)
+    return flow
 
 
 @functools.lru_cache(maxsize=64)
@@ -261,15 +291,15 @@ def _jitted_chain_bgr(h: int, w: int, config: FarnebackConfig):
     use_pallas = _on_tpu()
 
     def fn(frames):
-        flow = _flow_pyramid(frames.astype(jnp.float32), None, plan,
-                             use_pallas, chain=True)
+        flow, tiers = _flow_pyramid(frames.astype(jnp.float32), None, plan,
+                                    use_pallas, chain=True)
         if use_pallas and min(h, w) >= 32:
             from optical_flow_tpu.pallas.colorize import (
                 flow_to_bgr_planar_pallas)
-            return flow_to_bgr_planar_pallas(flow)
+            return flow_to_bgr_planar_pallas(flow), tiers
         from optical_flow_tpu.ops.colorize import flow_to_bgr_u8
         return jnp.moveaxis(flow_to_bgr_u8(jnp.moveaxis(flow, 1, -1)),
-                            -1, 1)
+                            -1, 1), tiers
 
     return jax.jit(fn)
 
@@ -283,7 +313,9 @@ def calc_flow_bgr_chain_batched(frames,
     if frames.shape[0] < 2:
         raise ValueError("chain needs at least 2 frames")
     _, h, w = frames.shape
-    return _jitted_chain_bgr(h, w, config)(frames)
+    bgr, tiers = _jitted_chain_bgr(h, w, config)(frames)
+    _note_tiers(tiers)
+    return bgr
 
 
 @functools.lru_cache(maxsize=64)
@@ -292,10 +324,11 @@ def _jitted_batched_seeded(h: int, w: int, config: FarnebackConfig):
     use_pallas = _on_tpu()
 
     def fn(prev, nxt, flow0):
-        flow = _flow_pyramid(prev.astype(jnp.float32),
-                             nxt.astype(jnp.float32), plan, use_pallas,
-                             initial_flow=jnp.moveaxis(flow0, -1, 1))
-        return jnp.moveaxis(flow, 1, -1)
+        flow, tiers = _flow_pyramid(prev.astype(jnp.float32),
+                                    nxt.astype(jnp.float32), plan,
+                                    use_pallas,
+                                    initial_flow=jnp.moveaxis(flow0, -1, 1))
+        return jnp.moveaxis(flow, 1, -1), tiers
 
     return jax.jit(fn)
 
@@ -318,9 +351,13 @@ def calc_flow(prev, nxt, config: FarnebackConfig = FarnebackConfig(),
             raise ValueError(
                 "flags include OPTFLOW_USE_INITIAL_FLOW but no initial_flow "
                 "was provided")
-        return _jitted_batched_seeded(h, w, config)(
-            prev[None], nxt[None], initial_flow[None])[0]
-    return _jitted_batched(h, w, config)(prev[None], nxt[None])[0]
+        flow, tiers = _jitted_batched_seeded(h, w, config)(
+            prev[None], nxt[None], initial_flow[None])
+        _note_tiers(tiers)
+        return flow[0]
+    flow, tiers = _jitted_batched(h, w, config)(prev[None], nxt[None])
+    _note_tiers(tiers)
+    return flow[0]
 
 
 def calc_flow_batched(prev, nxt, config: FarnebackConfig = FarnebackConfig(),
@@ -340,5 +377,10 @@ def calc_flow_batched(prev, nxt, config: FarnebackConfig = FarnebackConfig(),
             raise ValueError(
                 "flags include OPTFLOW_USE_INITIAL_FLOW but no initial_flow "
                 "was provided")
-        return _jitted_batched_seeded(h, w, config)(prev, nxt, initial_flow)
-    return _jitted_batched(h, w, config)(prev, nxt)
+        flow, tiers = _jitted_batched_seeded(h, w, config)(prev, nxt,
+                                                           initial_flow)
+        _note_tiers(tiers)
+        return flow
+    flow, tiers = _jitted_batched(h, w, config)(prev, nxt)
+    _note_tiers(tiers)
+    return flow

@@ -270,6 +270,11 @@ def _build_store(batch: int, Hs: int, Ws: int, winsize: int, gaussian: bool,
     m = winsize // 2
     if m > _PAD_S:
         raise ValueError(f"store layout supports winsize <= {2*_PAD_S+1}")
+    if tile_h > 2 * _PAD_S:
+        # the store layout's halo bands are ROW_OFF == 2*_PAD_S rows deep;
+        # a taller band would mark real output rows as pure halo (zeroed)
+        raise ValueError(
+            f"tile_h={tile_h} exceeds the store halo depth {2 * _PAD_S}")
     if Hs % tile_h:
         raise ValueError(f"Hs={Hs} not divisible by tile_h={tile_h}")
     rows = 2 * _PAD_S + tile_h
@@ -309,6 +314,6 @@ def blur_solve_store(Mst, winsize: int, gaussian: bool = False,
     on v5e — the kernel is vector-compute-bound, not step-overhead-bound —
     so the fused loop keeps the default 16."""
     B, _, Hs, Ws = Mst.shape
-    if Hs % tile_h:
+    if Hs % tile_h or tile_h > 2 * _PAD_S:
         tile_h = TILE_H
     return _build_store(B, Hs, Ws, winsize, gaussian, tile_h)(Mst)

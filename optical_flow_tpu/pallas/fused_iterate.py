@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from optical_flow_tpu.models.farneback.core import border_scale_field
+from optical_flow_tpu.models.farneback.core import border_scale_field_traced
 from optical_flow_tpu.pallas.blur_solve import _PAD_S, blur_solve_store
 from optical_flow_tpu.pallas.update_gather import (
     COL_OFF,
@@ -56,16 +56,14 @@ def supported(h: int, w: int, winsize: int) -> bool:
     return 3 <= winsize <= 2 * _PAD_S + 1 and supported_shape(h, w)
 
 
-@functools.lru_cache(maxsize=64)
-def _scp_host(h: int, w: int, Hs: int, Ws: int):
-    return np.pad(border_scale_field(h, w),
-                  [(ROW_OFF, Hs - ROW_OFF - h), (COL_OFF, Ws - COL_OFF - w)])
 
 
 def update_flow_fused(R0, R1, flow, winsize: int, iterations: int,
                       gaussian: bool = False):
     """Drop-in for core.update_flow on (B, 5/2, h, w) operands: shift into
-    the store layout once, run the iterate loop copy-free, slice once."""
+    the store layout once, run the iterate loop copy-free, slice once.
+    Returns (flow, tiers) with tiers the (2,) int32 sum of per-iteration
+    `tier_flags` (device-side exactness-tier observability)."""
     B, _, h, w = R0.shape
     Hs = _ceil(h, 16) + 32
     Ws = _ceil(w + 2 * COL_OFF, 128)
@@ -74,15 +72,16 @@ def update_flow_fused(R0, R1, flow, winsize: int, iterations: int,
     R0p = jnp.pad(R0, pad)
     R1p = jnp.pad(R1, pad)
     flowp = jnp.pad(flow, pad)
-    scp = jnp.asarray(_scp_host(h, w, Hs, Ws))
+    scp = border_scale_field_traced(h, w, Hs, Ws, ROW_OFF, COL_OFF)
 
     # scan, not a Python loop: the iteration body (the two Mosaic kernels)
     # is compiled ONCE per level instead of `iterations` times — XLA does
     # not CSE identical pallas custom-calls, and the update kernel is the
     # most expensive Mosaic compile in the pipeline (~12 s at 1080p).
     def body(fl, _):
-        Mst = update_matrices_store(R0p, R1p, fl, scp, h, w)
-        return blur_solve_store(Mst, winsize, gaussian), None
+        Mst, tiers = update_matrices_store(R0p, R1p, fl, scp, h, w)
+        return blur_solve_store(Mst, winsize, gaussian), tiers
 
-    flowp, _ = jax.lax.scan(body, flowp, None, length=iterations)
-    return flowp[:, :, ROW_OFF:ROW_OFF + h, COL_OFF:COL_OFF + w]
+    flowp, tiers = jax.lax.scan(body, flowp, None, length=iterations)
+    return (flowp[:, :, ROW_OFF:ROW_OFF + h, COL_OFF:COL_OFF + w],
+            jnp.sum(tiers, axis=0))

@@ -30,13 +30,15 @@ border down-weighting, same residual sign conventions.
 from __future__ import annotations
 
 import functools
+from collections import deque
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from optical_flow_tpu.models.farneback.core import border_scale_field
+from optical_flow_tpu.models.farneback.core import border_scale_field_traced
 
 TILE_H = 8
 TILE_W = 128
@@ -54,51 +56,78 @@ COL_OFF = 8
 # Observability: how often the exactness tiers fire (tier 2 = bounded
 # gather+scatter correction, tier 3 = full XLA recompute).  Content that
 # silently falls off the fast path (dense noise, fast global motion) shows
-# up here; bench.py and the metrics logs surface the counts.  Updated via
-# jax.debug.callback from inside the taken cond branch, so the counts are
-# exact per executed device step (async: drain with a block/host read
-# before reading).
+# up here; bench.py and the metrics logs surface the counts.
+#
+# The counts are DEVICE-SIDE: every update call computes a (2,) int32
+# "tiers" vector (tier2 fired, tier3 fired) from data it already has (the
+# per-frame violation counts), threaded out of the jitted programs as an
+# auxiliary output.  No host callbacks — the dev transport (axon_pjrt)
+# rejects send/recv callbacks, and debug.callback descriptors also poison
+# the persistent compilation cache key (round-2 advisor finding) — and no
+# cross-thread races: callers stash each call's device vector with
+# note_tier_stats() and later fold them into TIER_COUNTS with
+# consume_tier_stats() (the only point that forces a device->host read).
 TIER_COUNTS = {"tier2": 0, "tier3": 0}
+
+# pending per-call (2,) int32 device vectors; bounded so a metrics-blind
+# long run cannot accumulate host-side references without limit
+_PENDING_TIERS: deque = deque(maxlen=4096)
 
 
 def reset_tier_counts() -> None:
     TIER_COUNTS["tier2"] = 0
     TIER_COUNTS["tier3"] = 0
+    _PENDING_TIERS.clear()
 
 
-@functools.lru_cache(maxsize=1)
-def tier_counting_available() -> bool:
-    """Host callbacks are unsupported on some transports (axon_pjrt
-    rejects send/recv callbacks); tier counting degrades to no-op there
-    rather than breaking the compute path.  The axon device masquerades
-    as platform 'tpu', so sniff the PJRT platform_version string."""
-    try:
-        from jax.extend.backend import get_backend
-        return "axon" not in get_backend().platform_version
-    except Exception:   # pragma: no cover - no backend at all
-        return False
+def tier_flags(n_viol_per):
+    """(2,) int32 [tier2 fired, tier3 fired] from per-frame spill counts —
+    the same predicates that route the lax.cond correction tiers."""
+    mx = jnp.max(n_viol_per)
+    t3 = mx > VIOL_MAX
+    t2 = (jnp.sum(n_viol_per) > 0) & jnp.logical_not(t3)
+    return jnp.stack([t2, t3]).astype(jnp.int32)
 
 
-def _bump_tier2() -> None:
-    TIER_COUNTS["tier2"] += 1
+def note_tier_stats(tiers) -> None:
+    """Stash one call's tier vector — (2,) int32, or (n, 2) per-shard
+    vectors from a mesh step — as a concrete device array; tracers are
+    ignored (traced callers must thread the vector out of their program
+    and note the executed result instead)."""
+    import jax.core as _core
+    if isinstance(tiers, _core.Tracer):
+        return
+    _PENDING_TIERS.append(tiers)
 
 
-def _bump_tier3() -> None:
-    TIER_COUNTS["tier3"] += 1
+def consume_tier_stats() -> dict:
+    """Fold every pending device vector into TIER_COUNTS (forces the
+    pending results) and return a copy of the totals."""
+    while _PENDING_TIERS:
+        t = _PENDING_TIERS.popleft()
+        if getattr(t, "is_fully_addressable", True):
+            v = np.asarray(t).reshape(-1, 2).sum(axis=0)
+        else:
+            # multi-host sharded step: a global array spans devices this
+            # process cannot read — fold in OUR shards only (per-process
+            # counts; each host observes its own work)
+            v = np.sum([np.asarray(s.data).reshape(-1, 2).sum(axis=0)
+                        for s in t.addressable_shards], axis=0)
+        TIER_COUNTS["tier2"] += int(v[0])
+        TIER_COUNTS["tier3"] += int(v[1])
+    return dict(TIER_COUNTS)
 
 
-def _count_tier(bump) -> None:
-    """Emit a host callback from the taken cond branch (trace-time gated
-    on transport support)."""
-    if tier_counting_available():
-        jax.debug.callback(bump)
+# Band-uniform fast path (see _update_kernel): on by default; the
+# experiment harness flips it to A/B the candidate-block cost.
+FAST_UNIFORM = True
 
 
 def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
                    m_ref, viol_ref, win, win2, fbuf, sem, sem2, *,
                    h_real: int, w_real: int, n_bands: int, n_slots: int,
                    row_off: int = 0, col_off: int = 0,
-                   tile_h: int = TILE_H):
+                   tile_h: int = TILE_H, fast: bool = True):
     """Grid: (B * H/TILE_H,) row bands.  Each step processes an (TILE_H, W)
     band of one batch element: one dynamic-window DMA (5, WIN_H, W)
     anchored at the band's minimum fetched row (precomputed at XLA level
@@ -160,7 +189,8 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
     xt = xi // TILE_W
     lane = xi % TILE_W
 
-    def fetch_pass(load, sy, active, gated=False, vmax=V_MAX):
+    def fetch_pass(load, sy, active, gated=False, vmax=V_MAX,
+                   sub_scalars=None):
         """One candidate-block pass over all (8, 128) subtiles.
 
         `load(c, v8, off)` returns a (16, TILE_W) window block.  Writes
@@ -169,7 +199,9 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
         per-(8, 128)-subtile even when the band is taller (tile_h == 16
         in the fused loop) so the per-subtile spread budget is unchanged.
         gated=True skips subtiles with no active pixels (second-chance
-        pass: most subtiles of a spilled band are clean)."""
+        pass: most subtiles of a spilled band are clean).  sub_scalars:
+        precomputed per-subtile (v_lo, t_lo) scalars (the uniformity
+        pre-sweep already paid for them)."""
         lr = yi - sy
         in_w = (lr >= 0) & (lr < WIN_H)
         act = active & in_w
@@ -184,8 +216,11 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
                 relj = rel[rsl, sl]
                 xtj = xt[rsl, sl]
                 lnj = lane[rsl, sl]
-                v_lo = jnp.min(jnp.where(aj, relj, WIN_H))
-                t_lo = jnp.min(jnp.where(aj, xtj, n_sub - 1))
+                if sub_scalars is not None:
+                    v_lo, t_lo = sub_scalars[rg * n_sub + j]
+                else:
+                    v_lo = jnp.min(jnp.where(aj, relj, WIN_H))
+                    t_lo = jnp.min(jnp.where(aj, xtj, n_sub - 1))
                 cov = (aj & (relj < v_lo + vmax) & (xtj < t_lo + T_MAX))
                 covered_cols.append(cov)
 
@@ -241,32 +276,82 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
         return (covered_rows[0] if tile_h == 8
                 else jnp.concatenate(covered_rows, axis=0))
 
-    dma(slot, gi).wait()
+    def load_win1(c, v8, off):
+        return win[slot, c, pl.ds(v8, 16), pl.ds(off, TILE_W)]
 
-    covered1 = fetch_pass(
-        lambda c, v8, off: win[slot, c, pl.ds(v8, 16), pl.ds(off, TILE_W)],
-        anchors_ref[gi], inside)
-    spill = inside & jnp.logical_not(covered1)
+    def full_passes(sub_scalars=None):
+        """Original structure: V_MAX x T_MAX pass 1, gated second-chance
+        pass 2, residual violation mask for the XLA correction tier."""
+        covered1 = fetch_pass(load_win1, anchors_ref[gi], inside,
+                              sub_scalars=sub_scalars)
+        spill = inside & jnp.logical_not(covered1)
 
-    @pl.when(jnp.any(spill))
-    def _():
-        # second chance: window anchored at the spilled cluster
-        sy2 = pl.multiple_of(jnp.clip(
-            (jnp.min(jnp.where(spill, yi, Hp - 1)) // 8) * 8,
-            0, Hp - WIN_H), 8)
-        cp2 = pltpu.make_async_copy(
-            r1_hbm.at[gi // n_bands, :, pl.ds(sy2, WIN_H), :], win2, sem2)
-        cp2.start()
-        cp2.wait()
-        covered2 = fetch_pass(
-            lambda c, v8, off: win2[c, pl.ds(v8, 16), pl.ds(off, TILE_W)],
-            sy2, spill, gated=True, vmax=V2_MAX)
-        viol_ref[0, 0] = (spill & jnp.logical_not(covered2)
-                          ).astype(jnp.float32)
+        @pl.when(jnp.any(spill))
+        def _():
+            # second chance: window anchored at the spilled cluster
+            sy2 = pl.multiple_of(jnp.clip(
+                (jnp.min(jnp.where(spill, yi, Hp - 1)) // 8) * 8,
+                0, Hp - WIN_H), 8)
+            cp2 = pltpu.make_async_copy(
+                r1_hbm.at[gi // n_bands, :, pl.ds(sy2, WIN_H), :], win2,
+                sem2)
+            cp2.start()
+            cp2.wait()
+            covered2 = fetch_pass(
+                lambda c, v8, off: win2[c, pl.ds(v8, 16),
+                                        pl.ds(off, TILE_W)],
+                sy2, spill, gated=True, vmax=V2_MAX)
+            viol_ref[0, 0] = (spill & jnp.logical_not(covered2)
+                              ).astype(jnp.float32)
 
-    @pl.when(jnp.logical_not(jnp.any(spill)))
-    def _():
-        viol_ref[0, 0] = jnp.zeros((tile_h, Wp), jnp.float32)
+        @pl.when(jnp.logical_not(jnp.any(spill)))
+        def _():
+            viol_ref[0, 0] = jnp.zeros((tile_h, Wp), jnp.float32)
+
+    if fast:
+        # Band-uniformity pre-sweep: box-blurred flow is constant across
+        # most subtiles of real content, so the V_MAX x T_MAX candidate
+        # block (the kernel's dominant vector cost) usually collapses to
+        # ONE relative-row candidate.  Compute per-subtile spread scalars
+        # up front and branch ONCE per band (per-candidate conds measured
+        # 2x slower; a single band-level scf.if amortizes to noise).  The
+        # fast branch needs no spill machinery: uniform spread means
+        # every in-window pixel is covered, and the pre-sweep predicate
+        # includes full window containment.
+        lr1 = yi - anchors_ref[gi]
+        in_w1 = (lr1 >= 0) & (lr1 < WIN_H)
+        act1 = inside & in_w1
+        rel1 = lr1 - row_in_band
+        scalars1 = []
+        uniform = jnp.all(in_w1 | jnp.logical_not(inside))
+        for rg in range(tile_h // 8):
+            rsl = slice(rg * 8, rg * 8 + 8)
+            for j in range(n_sub):
+                sl = slice(j * TILE_W, (j + 1) * TILE_W)
+                aj = act1[rsl, sl]
+                relj = rel1[rsl, sl]
+                xtj = xt[rsl, sl]
+                v_lo = jnp.min(jnp.where(aj, relj, WIN_H))
+                v_hi = jnp.max(jnp.where(aj, relj, -1))
+                t_lo = jnp.min(jnp.where(aj, xtj, n_sub - 1))
+                t_hi = jnp.max(jnp.where(aj, xtj, 0))
+                scalars1.append((v_lo, t_lo))
+                uniform = uniform & (v_hi <= v_lo) & (t_hi < t_lo + T_MAX)
+
+        dma(slot, gi).wait()
+
+        @pl.when(uniform)
+        def _():
+            fetch_pass(load_win1, anchors_ref[gi], inside, vmax=1,
+                       sub_scalars=scalars1)
+            viol_ref[0, 0] = jnp.zeros((tile_h, Wp), jnp.float32)
+
+        @pl.when(jnp.logical_not(uniform))
+        def _():
+            full_passes(sub_scalars=scalars1)
+    else:
+        dma(slot, gi).wait()
+        full_passes()
 
     fetched = jnp.stack([fbuf[c] for c in range(5)])
 
@@ -307,7 +392,8 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
 
 @functools.lru_cache(maxsize=64)
 def _build(batch: int, h: int, w: int, h_real: int, w_real: int,
-           row_off: int = 0, col_off: int = 0, tile_h: int = TILE_H):
+           row_off: int = 0, col_off: int = 0, tile_h: int = TILE_H,
+           fast: bool = True):
     n_bands = h // tile_h
 
     def bmap(gi, _anchors):
@@ -346,7 +432,8 @@ def _build(batch: int, h: int, w: int, h_real: int, w_real: int,
     kernel = pl.pallas_call(
         functools.partial(_update_kernel, h_real=h_real, w_real=w_real,
                           n_bands=n_bands, n_slots=n_slots,
-                          row_off=row_off, col_off=col_off, tile_h=tile_h),
+                          row_off=row_off, col_off=col_off, tile_h=tile_h,
+                          fast=fast),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((batch, 5, h, w), jnp.float32),
@@ -411,13 +498,26 @@ def _ceil(a: int, m: int) -> int:
     return ((a + m - 1) // m) * m
 
 
+# Width ceiling for the update kernels (padded lanes).  The per-band
+# buffers (two (5, WIN_H, Wp) windows + fbuf + the M/R0/flow/viol blocks)
+# total ~2.5 KB/lane-column; past ~4K-class widths they blow the 16 MB
+# VMEM budget AND the statically-unrolled per-subtile candidate block
+# (Wp/128 subtiles) grows the Mosaic program super-linearly — measured:
+# 8K (Wp 7808, 61 subtiles) crashes the compiler outright.  Above the
+# cap the XLA gather path runs (exact, same numerics).
+MAX_WP = 4096
+
+
 def supported_shape(h: int, w: int) -> bool:
     """True if the kernel handles this (unpadded) shape."""
-    return _ceil(h, TILE_H) >= WIN_H
+    return (_ceil(h, TILE_H) >= WIN_H
+            and _ceil(w + 2 * COL_OFF, TILE_W) <= MAX_WP)
 
 
-def update_matrices_pallas_batched(R0, R1, flow):
-    """Batched drop-in replacement for vmap(core.update_matrices).
+def update_matrices_pallas_batched_stats(R0, R1, flow):
+    """Batched drop-in replacement for vmap(core.update_matrices), with
+    tier observability: returns (M, tiers) where tiers is the (2,) int32
+    vector of `tier_flags`.
 
     R0, R1: (B, 5, H, W); flow: (B, 2, H, W).  Arbitrary H, W with
     ceil(H, 8) >= WIN_H; inputs are zero-padded to (8, 128) multiples (pad
@@ -436,8 +536,10 @@ def update_matrices_pallas_batched(R0, R1, flow):
         flowp = jnp.pad(flow, pad)
     else:
         R0p, R1p, flowp = R0, R1, flow
-    sc = jnp.asarray(border_scale_field(H, W))
-    scp = jnp.pad(sc, [(0, Hp - H), (0, Wp - W)])
+    # traced border field: O(1) program size (the host constant was 8 MB
+    # at 1080p / 132 MB at 8K baked into every executable)
+    sc = border_scale_field_traced(H, W)
+    scp = border_scale_field_traced(H, W, Hp, Wp)
     # per-band window anchors, precomputed so the kernel can prefetch
     n_bands = Hp // TILE_H
     ys_all = jnp.arange(Hp, dtype=jnp.float32)[None, :, None]
@@ -445,7 +547,8 @@ def update_matrices_pallas_batched(R0, R1, flow):
     ymin = jnp.min(yi_all.reshape(B, n_bands, TILE_H, Wp), axis=(2, 3))
     anchors = jnp.clip((ymin.astype(jnp.int32) // 8) * 8, 0, Hp - WIN_H)
     anchors = anchors.reshape(B * n_bands)
-    Mp, violp = _build(B, Hp, Wp, H, W)(anchors, R0p, flowp, scp, R1p)
+    Mp, violp = _build(B, Hp, Wp, H, W, fast=FAST_UNIFORM)(
+        anchors, R0p, flowp, scp, R1p)
     M = Mp[:, :, :H, :W]
     viol = violp[:, 0, :H, :W] > 0.5
 
@@ -456,7 +559,6 @@ def update_matrices_pallas_batched(R0, R1, flow):
     n_viol = jnp.sum(n_viol_per)
 
     def corrected(m):
-        _count_tier(_bump_tier2)
         return jax.vmap(_correct_violations)(
             m, viol, R0, R1, flow,
             jnp.broadcast_to(sc, (B,) + sc.shape))
@@ -464,7 +566,6 @@ def update_matrices_pallas_batched(R0, R1, flow):
     from optical_flow_tpu.models.farneback import core as _core
 
     def full_recompute(m):
-        _count_tier(_bump_tier3)
         return _core.update_matrices(R0, R1, flow)
 
     M = jax.lax.cond(
@@ -472,6 +573,15 @@ def update_matrices_pallas_batched(R0, R1, flow):
         full_recompute,
         lambda m: jax.lax.cond(n_viol > 0, corrected, lambda x: x, m),
         M)
+    return M, tier_flags(n_viol_per)
+
+
+def update_matrices_pallas_batched(R0, R1, flow):
+    """Stats-free twin of update_matrices_pallas_batched_stats (same M).
+    Eager calls still tick TIER_COUNTS (traced calls must use the _stats
+    variant and thread the vector out of their program)."""
+    M, tiers = update_matrices_pallas_batched_stats(R0, R1, flow)
+    note_tier_stats(tiers)
     return M
 
 
@@ -550,7 +660,8 @@ def update_matrices_store(R0p, R1p, flowp, scp, h: int, w: int):
     kernel; the 8-row top/bottom halos — whose replicate source rows live
     in other grid bands — via two small in-place row copies).  Exactness
     tiers match update_matrices_pallas_batched (bit-identical to
-    core.update_matrices on the real region).
+    core.update_matrices on the real region).  Returns (Mst, tiers) with
+    tiers the (2,) int32 `tier_flags` vector (device-side observability).
     """
     B, _, Hs, Ws = R0p.shape
     tile_h = 16                     # taller bands: half the grid steps and
@@ -565,15 +676,14 @@ def update_matrices_store(R0p, R1p, flowp, scp, h: int, w: int):
     ymin = jnp.min(yi_st.reshape(B, n_bands, tile_h, Ws), axis=(2, 3))
     anchors = jnp.clip((ymin.astype(jnp.int32) // 8) * 8, 0, Hs - WIN_H)
     anchors = anchors.reshape(B * n_bands)
-    Mst, violp = _build(B, Hs, Ws, h, w, ROW_OFF, COL_OFF, tile_h)(
-        anchors, R0p, flowp, scp, R1p)
+    Mst, violp = _build(B, Hs, Ws, h, w, ROW_OFF, COL_OFF, tile_h,
+                        fast=FAST_UNIFORM)(anchors, R0p, flowp, scp, R1p)
     viol = violp[:, 0] > 0.5
 
     n_viol_per = jnp.sum(viol, axis=(-2, -1))
     n_viol = jnp.sum(n_viol_per)
 
     def corrected(m):
-        _count_tier(_bump_tier2)
         m = jax.vmap(functools.partial(
             _correct_violations_store, h=h, w=w))(
                 m, viol, R0p, R1p, flowp,
@@ -582,7 +692,6 @@ def update_matrices_store(R0p, R1p, flowp, scp, h: int, w: int):
         return _fix_col_halos(m, w)
 
     def full_recompute(m):
-        _count_tier(_bump_tier3)
         from optical_flow_tpu.models.farneback import core as _core
         sl = (slice(None), slice(None), slice(ROW_OFF, ROW_OFF + h),
               slice(COL_OFF, COL_OFF + w))
@@ -599,4 +708,4 @@ def update_matrices_store(R0p, R1p, flowp, scp, h: int, w: int):
         Mst[:, :, ROW_OFF:ROW_OFF + 1])
     Mst = Mst.at[:, :, ROW_OFF + h:ROW_OFF + h + 8].set(
         Mst[:, :, ROW_OFF + h - 1:ROW_OFF + h])
-    return Mst
+    return Mst, tier_flags(n_viol_per)

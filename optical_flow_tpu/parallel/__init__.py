@@ -1,15 +1,21 @@
 from optical_flow_tpu.parallel.mesh import (
+    chain_shards,
     make_mesh,
     shard_pairs,
-    sharded_flow_step,
+    sharded_bgr_chain_step,
+    sharded_bgr_step,
     sharded_extract_step,
+    sharded_flow_step,
 )
 from optical_flow_tpu.parallel.corpus import shard_videoids
 
 __all__ = [
+    "chain_shards",
     "make_mesh",
     "shard_pairs",
-    "sharded_flow_step",
+    "sharded_bgr_chain_step",
+    "sharded_bgr_step",
     "sharded_extract_step",
+    "sharded_flow_step",
     "shard_videoids",
 ]

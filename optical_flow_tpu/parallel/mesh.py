@@ -69,15 +69,15 @@ def _sharded_flow_fn(mesh: Mesh, h: int, w: int, config: FarnebackConfig):
         use_pallas = _on_tpu()
 
         def per_shard(prev, nxt):
-            flow = _flow_pyramid(prev.astype(jnp.float32),
-                                 nxt.astype(jnp.float32), plan,
-                                 use_pallas=use_pallas)
-            return jnp.moveaxis(flow, 1, -1)
+            flow, tiers = _flow_pyramid(prev.astype(jnp.float32),
+                                        nxt.astype(jnp.float32), plan,
+                                        use_pallas=use_pallas)
+            return jnp.moveaxis(flow, 1, -1), tiers[None]
 
         fn = jax.shard_map(
             per_shard, mesh=mesh,
             in_specs=(P("data", None, None), P("data", None, None)),
-            out_specs=P("data", None, None, None),
+            out_specs=(P("data", None, None, None), P("data", None)),
             check_vma=False)
         return jax.jit(fn)
 
@@ -85,18 +85,29 @@ def _sharded_flow_fn(mesh: Mesh, h: int, w: int, config: FarnebackConfig):
         # spatial sharding: XLA SPMD partitions the whole pyramid (stencil
         # halos become collective-permutes over ICI); the Pallas kernels
         # are not spatially partitionable, so the XLA path is used
-        flow = _flow_pyramid(prev.astype(jnp.float32),
-                             nxt.astype(jnp.float32), plan, use_pallas=False)
-        return jnp.moveaxis(flow, 1, -1)
+        flow, tiers = _flow_pyramid(prev.astype(jnp.float32),
+                                    nxt.astype(jnp.float32), plan,
+                                    use_pallas=False)
+        return jnp.moveaxis(flow, 1, -1), tiers[None]
 
-    return jax.jit(fn, in_shardings=(in_s, in_s), out_shardings=out_s)
+    return jax.jit(fn, in_shardings=(in_s, in_s),
+                   out_shardings=(out_s, None))
+
+
+def _note_shard_tiers(tiers) -> None:
+    """Stash per-shard (n, 2) tier vectors for the observability drain
+    (summed host-side in consume_tier_stats; no extra device dispatch)."""
+    from optical_flow_tpu.pallas.update_gather import note_tier_stats
+    note_tier_stats(tiers)
 
 
 def sharded_flow_step(mesh: Mesh, prev, nxt,
                       config: FarnebackConfig = FarnebackConfig()):
     """(B, H, W) uint8 pairs -> (B, H, W, 2) f32 flow, dp+sp sharded."""
     _, h, w = prev.shape
-    return _sharded_flow_fn(mesh, h, w, config)(prev, nxt)
+    flow, tiers = _sharded_flow_fn(mesh, h, w, config)(prev, nxt)
+    _note_shard_tiers(tiers)
+    return flow
 
 
 @functools.lru_cache(maxsize=32)
@@ -108,21 +119,21 @@ def _sharded_bgr_fn(mesh: Mesh, h: int, w: int, config: FarnebackConfig):
     use_pallas = _on_tpu()
 
     def per_shard(prev, nxt):
-        flow = _flow_pyramid(prev.astype(jnp.float32),
-                             nxt.astype(jnp.float32), plan,
-                             use_pallas=use_pallas)
+        flow, tiers = _flow_pyramid(prev.astype(jnp.float32),
+                                    nxt.astype(jnp.float32), plan,
+                                    use_pallas=use_pallas)
         if use_pallas and min(h, w) >= 32:
             from optical_flow_tpu.pallas.colorize import (
                 flow_to_bgr_planar_pallas)
-            return flow_to_bgr_planar_pallas(flow)
+            return flow_to_bgr_planar_pallas(flow), tiers[None]
         from optical_flow_tpu.ops.colorize import flow_to_bgr_u8
         return jnp.moveaxis(flow_to_bgr_u8(jnp.moveaxis(flow, 1, -1)),
-                            -1, 1)
+                            -1, 1), tiers[None]
 
     fn = jax.shard_map(
         per_shard, mesh=mesh,
         in_specs=(P("data", None, None), P("data", None, None)),
-        out_specs=P("data", None, None, None),
+        out_specs=(P("data", None, None, None), P("data", None)),
         check_vma=False)
     return jax.jit(fn)
 
@@ -132,7 +143,77 @@ def sharded_bgr_step(mesh: Mesh, prev, nxt,
     """(B, H, W) gray pairs -> planar BGR uint8 (B, 3, H, W), dp sharded
     (the per-frame min-max normalize is per-image, so dp is exact)."""
     _, h, w = prev.shape
-    return _sharded_bgr_fn(mesh, h, w, config)(prev, nxt)
+    bgr, tiers = _sharded_bgr_fn(mesh, h, w, config)(prev, nxt)
+    _note_shard_tiers(tiers)
+    return bgr
+
+
+def chain_shards(frames, n: int):
+    """(N, H, W) consecutive frames -> (n, k+1, H, W) overlapping
+    sub-chains for sharded_bgr_chain_step: shard i gets frames
+    [i*k, (i+1)*k] inclusive, so its last frame is shard i+1's first
+    (k = ceil((N-1)/n) pairs per shard; the tail is padded by repeating
+    the last frame and those pair outputs are discarded by the caller).
+    The one-frame-per-shard duplication is the whole cost of keeping the
+    chained-pair optimization under dp sharding (docs/ARCHITECTURE.md)."""
+    frames = jnp.asarray(frames)
+    N = frames.shape[0]
+    k = -(-(N - 1) // n)
+    total = n * k + 1
+    if total > N:
+        pad = jnp.broadcast_to(frames[-1:],
+                               (total - N,) + frames.shape[1:])
+        frames = jnp.concatenate([frames, pad])
+    idx = np.arange(n)[:, None] * k + np.arange(k + 1)[None, :]
+    return frames[idx]
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_bgr_chain_fn(mesh: Mesh, k: int, h: int, w: int,
+                          config: FarnebackConfig):
+    """The visualizer's chained device step, dp-sharded: each shard runs
+    the CHAIN pyramid on its (k+1)-frame sub-chain — every interior frame
+    smoothed/polyexp'd once, not twice (the +12% structural win of
+    calc_flow_chain_batched, kept under multi-chip dp; round-2 VERDICT
+    item 3).  Reference workload: `visualize_optical_flow.py:62`."""
+    plan = build_plan(h, w, config)
+    from optical_flow_tpu.models.farneback.flow import _on_tpu
+    use_pallas = _on_tpu()
+
+    def per_shard(frames):             # (1, k+1, h, w) local shard
+        flow, tiers = _flow_pyramid(frames[0].astype(jnp.float32), None,
+                                    plan, use_pallas=use_pallas,
+                                    chain=True)
+        if use_pallas and min(h, w) >= 32:
+            from optical_flow_tpu.pallas.colorize import (
+                flow_to_bgr_planar_pallas)
+            bgr = flow_to_bgr_planar_pallas(flow)
+        else:
+            from optical_flow_tpu.ops.colorize import flow_to_bgr_u8
+            bgr = jnp.moveaxis(flow_to_bgr_u8(jnp.moveaxis(flow, 1, -1)),
+                               -1, 1)
+        return bgr[None], tiers[None]
+
+    fn = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P("data", None, None, None),),
+        out_specs=(P("data", None, None, None, None), P("data", None)),
+        check_vma=False)
+    return jax.jit(fn)
+
+
+def sharded_bgr_chain_step(mesh: Mesh, frames_nk,
+                           config: FarnebackConfig = FarnebackConfig()):
+    """(n_data, k+1, H, W) overlapping sub-chains (chain_shards) ->
+    planar BGR uint8 (n_data*k, 3, H, W) for the n*k consecutive pairs of
+    the underlying chain, in order.  Equal to
+    calc_flow_bgr_chain_batched on the flat chain (per-pair compute is
+    batch-independent and the colorize normalization is per-image)."""
+    n, k1, h, w = frames_nk.shape
+    bgr, tiers = _sharded_bgr_chain_fn(mesh, k1 - 1, h, w, config)(
+        frames_nk)
+    _note_shard_tiers(tiers)
+    return bgr.reshape(n * (k1 - 1), 3, h, w)
 
 
 @functools.lru_cache(maxsize=32)
@@ -151,16 +232,16 @@ def _sharded_extract_fn(mesh: Mesh, h: int, w: int, config: FarnebackConfig):
         use_pallas = _on_tpu()
 
         def per_shard(prev, nxt):
-            flow = _flow_pyramid(prev.astype(jnp.float32),
-                                 nxt.astype(jnp.float32), plan,
-                                 use_pallas=use_pallas)
+            flow, tiers = _flow_pyramid(prev.astype(jnp.float32),
+                                        nxt.astype(jnp.float32), plan,
+                                        use_pallas=use_pallas)
             mag, _ = cart_to_polar(flow[:, 0], flow[:, 1])
-            return jnp.sum(mag, axis=(-2, -1))
+            return jnp.sum(mag, axis=(-2, -1)), tiers[None]
 
         fn = jax.shard_map(
             per_shard, mesh=mesh,
             in_specs=(P("data", None, None), P("data", None, None)),
-            out_specs=P("data"),
+            out_specs=(P("data"), P("data", None)),
             check_vma=False)
         return jax.jit(fn)
 
@@ -169,12 +250,14 @@ def _sharded_extract_fn(mesh: Mesh, h: int, w: int, config: FarnebackConfig):
         # pyramid; the Pallas kernels are not spatially partitionable, so
         # the XLA path is used — see docs/ARCHITECTURE.md "which path runs
         # on hardware"
-        flow = _flow_pyramid(prev.astype(jnp.float32),
-                             nxt.astype(jnp.float32), plan, use_pallas=False)
+        flow, tiers = _flow_pyramid(prev.astype(jnp.float32),
+                                    nxt.astype(jnp.float32), plan,
+                                    use_pallas=False)
         mag, _ = cart_to_polar(flow[:, 0], flow[:, 1])
-        return jnp.sum(mag, axis=(-2, -1))
+        return jnp.sum(mag, axis=(-2, -1)), tiers[None]
 
-    return jax.jit(fn, in_shardings=(in_s, in_s), out_shardings=out_s)
+    return jax.jit(fn, in_shardings=(in_s, in_s),
+                   out_shardings=(out_s, None))
 
 
 def sharded_extract_step(mesh: Mesh, prev, nxt,
@@ -182,4 +265,6 @@ def sharded_extract_step(mesh: Mesh, prev, nxt,
     """The extractor's device step: (B, H, W) pairs -> (B,) summed
     magnitudes (`np.sum(mag)` of `optical_flow.py:64`), dp+sp sharded."""
     _, h, w = prev.shape
-    return _sharded_extract_fn(mesh, h, w, config)(prev, nxt)
+    sums, tiers = _sharded_extract_fn(mesh, h, w, config)(prev, nxt)
+    _note_shard_tiers(tiers)
+    return sums

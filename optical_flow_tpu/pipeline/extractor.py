@@ -314,6 +314,11 @@ def run_corpus(features_root: str, videoids: Sequence[str],
                         videoid, type(e).__name__, e)
                 elif first_error is None:
                     first_error = e
+                    # fail fast like the sequential path: drop queued
+                    # videos (in-flight ones finish; their .done/CSV
+                    # outputs stay valid for a later resume)
+                    pool.shutdown(wait=False, cancel_futures=True)
+                    break
         if first_error is not None:
             raise first_error
     return failures

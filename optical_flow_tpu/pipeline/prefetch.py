@@ -108,14 +108,36 @@ class DecodePrefetcher:
             self._stop.set()
 
 
-def pair_chunk_for(h: int, w: int, budget_pixels: int = 32 << 20,
+_REF_HBM_BYTES = 16 << 30       # v5e, where the 32M-pixel budget was tuned
+
+
+def _device_hbm_bytes() -> Optional[int]:
+    """The accelerator's memory capacity, or None when unknown (CPU
+    devices and transports without memory_stats)."""
+    try:
+        stats = jax.devices()[0].memory_stats()
+        limit = stats.get("bytes_limit") if stats else None
+        return int(limit) if limit else None
+    except Exception:
+        return None
+
+
+def pair_chunk_for(h: int, w: int, budget_pixels: Optional[int] = None,
                    cap: int = 128) -> int:
     """Frame pairs per device dispatch, bounded by an HBM pixel budget.
 
-    ~32M pixels keeps the 5-channel f32 fields of both frames, the
-    iterate-loop intermediates, and the colorization temporaries inside a
-    v5e's 16 GB with headroom (16 pairs at 1080p, 4 at 4K — both validated
-    on hardware; 32 pairs at 1080p OOMed with colorization live)."""
+    The default budget scales ~32M pixels (tuned on a 16 GB v5e: keeps the
+    5-channel f32 fields of both frames, the iterate-loop intermediates,
+    and the colorization temporaries resident with headroom — 16 pairs at
+    1080p, 4 at 4K, both validated on hardware; 32 pairs at 1080p OOMed
+    with colorization live) by the actual device memory from
+    `memory_stats()["bytes_limit"]`, so smaller-HBM devices shrink their
+    chunks instead of OOMing and larger ones batch deeper.  Unknown
+    capacity (CPU meshes, restricted transports) uses the v5e constant."""
+    if budget_pixels is None:
+        hbm = _device_hbm_bytes()
+        scale = (hbm / _REF_HBM_BYTES) if hbm else 1.0
+        budget_pixels = int((32 << 20) * scale)
     return max(1, min(cap, budget_pixels // (h * w)))
 
 

@@ -58,13 +58,17 @@ class PipelineMetrics:
             parts.append(f"{k}={v.seconds:.2f}s/{v.count}x")
         # exactness-tier observability: content falling off the update
         # kernel's fast path (motion boundaries, dense noise) is visible,
-        # not silent — see pallas/update_gather.py TIER_COUNTS
+        # not silent.  Counters are device-side (threaded out of the jitted
+        # programs — no host callbacks), so they work on every transport;
+        # consume_tier_stats folds the pending per-call vectors in.
         try:
-            from optical_flow_tpu.pallas.update_gather import TIER_COUNTS
-            if TIER_COUNTS["tier2"] or TIER_COUNTS["tier3"]:
+            from optical_flow_tpu.pallas.update_gather import (
+                consume_tier_stats)
+            counts = consume_tier_stats()
+            if counts["tier2"] or counts["tier3"]:
                 parts.append(
-                    f"update-kernel corrections: tier2={TIER_COUNTS['tier2']}"
-                    f" tier3={TIER_COUNTS['tier3']}")
+                    f"update-kernel corrections: tier2={counts['tier2']}"
+                    f" tier3={counts['tier3']}")
         except ImportError:        # pragma: no cover - pallas unavailable
             pass
         logger.info("; ".join(parts))

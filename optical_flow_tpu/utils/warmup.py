@@ -2,21 +2,34 @@
 
 XLA compiles one executable per (frame shape, batch size, Farnebäck
 config); on TPU transports with remote compilation the first video of a
-new resolution can pay minutes of latency.  `warmup()` triggers those
-compiles up front (e.g., at worker start, before the corpus loop), and the
-persistent compilation cache (JAX_COMPILATION_CACHE_DIR) makes them
+new resolution can pay minutes of latency.  These helpers trigger those
+compiles up front (e.g., at worker start, before the corpus loop), and
+the persistent compilation cache (JAX_COMPILATION_CACHE_DIR) makes them
 one-time per cluster.
+
+The warmers dispatch THE SAME jitted programs the production pipelines
+dispatch — the extractor's `_magnitude_sums` (mesh-sharded when a mesh
+exists) at its `pair_chunk_for` chunk shape, and the visualizer's
+chained bgr step (`calc_flow_bgr_chain_batched`, or the sharded
+sub-chain step on a multi-device host) at its `(chunk+1, h, w)` frame
+stack — so a warmed worker's first real shot compiles nothing new
+(round-2 VERDICT item 4: warming `calc_flow_batched` while production
+runs the chained/sharded entries left the expensive Mosaic compiles on
+the first shot).
 """
 
 from __future__ import annotations
 
-from typing import Iterable, Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
-from optical_flow_tpu.models.farneback import calc_flow_batched
-from optical_flow_tpu.ops import bgr2gray_u8, flow_to_bgr_u8, resize_frame_u8
+from optical_flow_tpu.models.farneback import (
+    calc_flow_batched,
+    calc_flow_bgr_chain_batched,
+)
 from optical_flow_tpu.ops.polar import cart_to_polar
+from optical_flow_tpu.ops.resize import aspect_preserving_size
 from optical_flow_tpu.pipeline.prefetch import pair_chunk_for
 from optical_flow_tpu.utils.config import ExtractorConfig, FarnebackConfig
 from optical_flow_tpu.utils.logging import get_logger
@@ -39,23 +52,45 @@ def warmup_flow(h: int, w: int, batch: Optional[int] = None,
 
 def warmup_extractor(src_h: int, src_w: int,
                      config: ExtractorConfig = ExtractorConfig()) -> None:
-    """Compile everything the extractor needs for a source resolution."""
+    """Compile the extractor's production device step for a source
+    resolution: `_magnitude_sums` at the exact `pair_chunk_for` chunk
+    shape `extract_video` dispatches — including the dp-mesh sharded
+    path when this host has several devices."""
     import jax.numpy as jnp
 
-    frame = np.zeros((src_h, src_w, 3), np.uint8)
-    g = bgr2gray_u8(resize_frame_u8(jnp.asarray(frame), config.frame_width)
-                    if config.frame_width else jnp.asarray(frame))
-    gh, gw = g.shape
-    warmup_flow(gh, gw, config=config.farneback)
+    from optical_flow_tpu.pipeline.extractor import _magnitude_sums
+
+    if config.frame_width:
+        gw, gh = aspect_preserving_size(src_h, src_w, config.frame_width)
+    else:
+        gw, gh = src_w, src_h
+    b = pair_chunk_for(max(gh, 1), max(gw, 1))
+    z = jnp.zeros((b, gh, gw), jnp.uint8)
+    sums = _magnitude_sums(z, z, config)
+    float(jnp.sum(sums))
+    logger.info("warmed extractor executables for (%d, %d, %d)", b, gh, gw)
 
 
 def warmup_visualizer(src_h: int, src_w: int,
                       config: FarnebackConfig = FarnebackConfig()) -> None:
-    """Compile everything the visualizer needs for a source resolution."""
+    """Compile the visualizer's production device step for a source
+    resolution: the CHAINED flow+colorize program at the exact
+    `(pair_chunk_for(h, w) + 1, h, w)` frame stack `visualize_shot`
+    dispatches (the sharded sub-chain step on a multi-device host)."""
     import jax.numpy as jnp
 
+    from optical_flow_tpu.pipeline.extractor import _dp_mesh
+
     b = pair_chunk_for(src_h, src_w)
-    z = np.zeros((b, src_h, src_w), np.uint8)
-    flow = calc_flow_batched(z, z, config)
-    float(jnp.sum(jnp.asarray(flow_to_bgr_u8(flow), jnp.int32)))
-    logger.info("warmed visualizer executables for (%d, %d)", src_h, src_w)
+    frames = jnp.zeros((b + 1, src_h, src_w), jnp.uint8)
+    mesh = _dp_mesh()
+    if mesh is not None:
+        from optical_flow_tpu.parallel.mesh import (chain_shards,
+                                                    sharded_bgr_chain_step)
+        out = sharded_bgr_chain_step(
+            mesh, chain_shards(frames, mesh.devices.size), config)
+    else:
+        out = calc_flow_bgr_chain_batched(frames, config)
+    float(jnp.sum(out[:, :, ::31, ::31].astype(jnp.int32)))
+    logger.info("warmed visualizer executables for (%d+1, %d, %d)",
+                b, src_h, src_w)

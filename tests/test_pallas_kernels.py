@@ -84,23 +84,23 @@ class TestUpdateGatherKernel:
         self._check(96, 512, mod)
 
     def test_tier_counters_fire(self):
-        # observability contract: spilled content ticks TIER_COUNTS (host
-        # callbacks work on the CPU backend tests run on)
-        import jax
+        # observability contract: spilled content ticks TIER_COUNTS via
+        # the device-side counters (no host callbacks — works on every
+        # transport, including ones that reject send/recv callbacks)
         from optical_flow_tpu.pallas import update_gather as ug
         ug.reset_tier_counts()
 
         def smooth(flow):
             flow[:] = 1.5                        # constant: nothing spills
         self._check(64, 512, smooth)
-        jax.effects_barrier()
-        assert ug.TIER_COUNTS["tier2"] == 0
+        counts = ug.consume_tier_stats()
+        assert counts["tier2"] == 0 and counts["tier3"] == 0
 
         def spilled(flow):
             flow[:, 1, 30:32, 100:160] = 45.0    # escapes the window
         self._check(64, 512, spilled)
-        jax.effects_barrier()
-        assert ug.TIER_COUNTS["tier2"] >= 1
+        counts = ug.consume_tier_stats()
+        assert counts["tier2"] >= 1
         ug.reset_tier_counts()
 
 
@@ -162,8 +162,10 @@ class TestFusedIterate:
         if flow_mod is not None:
             flow_mod(flow)
         flow = jnp.asarray(flow)
-        out = np.asarray(update_flow_fused(R0, R1, flow, ws, iters,
-                                           gaussian=gaussian))
+        out_fl, tiers = update_flow_fused(R0, R1, flow, ws, iters,
+                                          gaussian=gaussian)
+        out = np.asarray(out_fl)
+        assert np.asarray(tiers).shape == (2,)
         ref = np.asarray(core.update_flow(R0, R1, flow, ws, iters,
                                           gaussian=gaussian))
         np.testing.assert_allclose(out, ref, atol=atol, rtol=1e-3)

@@ -62,6 +62,29 @@ class TestMesh:
         ref = np.sqrt((flow ** 2).sum(-1)).sum(axis=(-2, -1))
         np.testing.assert_allclose(sums, ref, rtol=1e-4)
 
+    def test_bgr_chain_matches_single_device(self):
+        """The multi-chip visualizer path keeps the chained-pair
+        optimization: overlapping per-shard sub-chains must reproduce
+        calc_flow_bgr_chain_batched exactly (round-2 VERDICT item 3)."""
+        from optical_flow_tpu.models.farneback import (
+            calc_flow_bgr_chain_batched)
+        from optical_flow_tpu.parallel import (chain_shards,
+                                               sharded_bgr_chain_step)
+        rng = np.random.default_rng(3)
+        base = smooth_texture_pair(96, 128, (1, 2), seed=3)[0]
+        frames = np.stack([np.roll(base, (i, 2 * i), (0, 1))
+                           + rng.integers(0, 2, base.shape).astype(base.dtype)
+                           for i in range(10)])        # 9 pairs
+        mesh = make_mesh(8, 1)
+        nk = chain_shards(frames, 8)                   # k=2, padded tail
+        assert nk.shape == (8, 3, 96, 128)
+        # shard i's last frame is shard i+1's first (the overlap)
+        np.testing.assert_array_equal(np.asarray(nk[0, -1]),
+                                      np.asarray(nk[1, 0]))
+        out = np.asarray(sharded_bgr_chain_step(mesh, nk))[:9]
+        ref = np.asarray(calc_flow_bgr_chain_batched(frames))
+        np.testing.assert_array_equal(out, ref)
+
     def test_graft_dryrun(self):
         import __graft_entry__ as g
         g.dryrun_multichip(8)

@@ -168,6 +168,23 @@ class TestMemoryBounds:
         assert ts == ref_ts
         np.testing.assert_allclose(mags, ref_mags, rtol=1e-4)
 
+    def test_pair_chunk_scales_with_device_hbm(self, monkeypatch):
+        """The HBM pixel budget adapts to the device's actual memory
+        (memory_stats bytes_limit): half the HBM -> half the chunk, and
+        unknown capacity falls back to the tuned v5e constant (round-2
+        VERDICT item 9)."""
+        from optical_flow_tpu.pipeline import prefetch
+
+        monkeypatch.setattr(prefetch, "_device_hbm_bytes",
+                            lambda: 16 << 30)
+        ref = prefetch.pair_chunk_for(2160, 3840)
+        monkeypatch.setattr(prefetch, "_device_hbm_bytes",
+                            lambda: 8 << 30)
+        small = prefetch.pair_chunk_for(2160, 3840)
+        assert small == max(1, ref // 2)
+        monkeypatch.setattr(prefetch, "_device_hbm_bytes", lambda: None)
+        assert prefetch.pair_chunk_for(2160, 3840) == ref
+
 
 class TestVisualizerDegenerate:
     def test_unopenable_video_writes_nothing(self, tmp_path):
@@ -191,6 +208,72 @@ class TestWarmup:
         warmup_flow(48, 64, batch=2)
         warmup_extractor(96, 128)
         warmup_visualizer(48, 64)
+
+    def test_warmup_precompiles_production_visualizer(self, tmp_path,
+                                                      monkeypatch):
+        """warmup_visualizer must compile THE executable visualize_shot
+        dispatches (round-2 VERDICT item 4: it used to warm
+        calc_flow_batched while production ran the chained/sharded
+        programs).  Asserted via the jit cache: no new entry appears when
+        the real pipeline runs after warmup."""
+        from optical_flow_tpu.pipeline import visualizer as vz
+        from optical_flow_tpu.pipeline.extractor import _dp_mesh
+        from optical_flow_tpu.utils import warmup as wu
+        from optical_flow_tpu.utils.config import FarnebackConfig
+
+        h, w = 96, 128
+        path = str(tmp_path / "clip.mp4")
+        # 6 sampled positions -> 5 pairs == the patched chunk size, so
+        # the shot dispatches exactly the warmed (chunk+1)-frame stack
+        write_synthetic_video(path, n_frames=45, h=h, w=w, fps=25.0)
+        monkeypatch.setattr(wu, "pair_chunk_for", lambda *a, **k: 5)
+        monkeypatch.setattr(vz, "pair_chunk_for", lambda *a, **k: 5)
+
+        wu.warmup_visualizer(h, w)
+        mesh = _dp_mesh()
+        if mesh is not None:
+            from optical_flow_tpu.parallel import mesh as meshmod
+            fn = meshmod._sharded_bgr_chain_fn(mesh, 1, h, w,
+                                               FarnebackConfig())
+        else:
+            from optical_flow_tpu.models.farneback import flow as flowmod
+            fn = flowmod._jitted_chain_bgr(h, w, FarnebackConfig())
+        warmed = fn._cache_size()
+        assert warmed >= 1
+        n = vz.visualize_shot(path, str(tmp_path / "imgs"), 0, 1500)
+        assert n == 5
+        assert fn._cache_size() == warmed, \
+            "visualize_shot compiled a program warmup did not"
+
+    def test_warmup_precompiles_production_extractor(self, tmp_path,
+                                                     monkeypatch):
+        """Same contract for the extractor's device step (mesh path
+        included when the host has several devices)."""
+        from optical_flow_tpu.pipeline import extractor
+        from optical_flow_tpu.utils import warmup as wu
+        from optical_flow_tpu.utils.config import ExtractorConfig
+
+        h, w = 120, 160
+        path = str(tmp_path / "clip.mp4")
+        write_synthetic_video(path, n_frames=80, h=h, w=w, fps=25.0)
+        cfg = ExtractorConfig(frame_width=0)
+        monkeypatch.setattr(wu, "pair_chunk_for", lambda *a, **k: 4)
+        monkeypatch.setattr(extractor, "pair_chunk_for",
+                            lambda *a, **k: 4)
+
+        wu.warmup_extractor(h, w, cfg)
+        mesh = extractor._dp_mesh()
+        if mesh is not None:
+            from optical_flow_tpu.parallel import mesh as meshmod
+            fn = meshmod._sharded_extract_fn(mesh, h, w, cfg.farneback)
+        else:
+            from optical_flow_tpu.models.farneback import flow as flowmod
+            fn = flowmod._jitted_batched(h, w, cfg.farneback)
+        warmed = fn._cache_size()
+        assert warmed >= 1
+        extractor.extract_video(path, cfg)
+        assert fn._cache_size() == warmed, \
+            "extract_video compiled a program warmup did not"
 
 
 class TestCLICompat:
