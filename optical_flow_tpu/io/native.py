@@ -45,6 +45,10 @@ def get_lib() -> ctypes.CDLL:
         lib.ofio_read_frame.argtypes = [
             ctypes.c_void_p, ctypes.c_double, ctypes.POINTER(ctypes.c_uint8)]
         lib.ofio_read_frame.restype = ctypes.c_int
+        lib.ofio_meta.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int)]
+        lib.ofio_meta.restype = ctypes.c_int
         lib.ofio_close.argtypes = [ctypes.c_void_p]
         lib.ofio_close.restype = None
         lib.ofio_jpeg_write.argtypes = [

@@ -14,10 +14,14 @@ Replaces the reference's decode layer (`optical_flow.py:71,75-76,36-37`,
 from __future__ import annotations
 
 import ctypes
+import os
 
 import numpy as np
 
 from optical_flow_tpu.io.native import get_lib
+from optical_flow_tpu.utils.logging import get_logger
+
+logger = get_logger("io.video")
 
 
 class VideoReader:
@@ -25,6 +29,8 @@ class VideoReader:
         self._lib = get_lib()
         self._h = self._lib.ofio_open(str(path).encode())
         self.path = path
+        self.rotation_degrees = 0.0
+        self.is_vfr = False
         if self._h:
             fps = ctypes.c_double()
             cnt = ctypes.c_int64()
@@ -36,6 +42,34 @@ class VideoReader:
             self.frame_count = int(cnt.value)
             self.width = int(w.value)
             self.height = int(ht.value)
+            rot = ctypes.c_double()
+            vfr = ctypes.c_int()
+            self._lib.ofio_meta(self._h, ctypes.byref(rot), ctypes.byref(vfr))
+            self.rotation_degrees = float(rot.value)
+            self.is_vfr = bool(vfr.value)
+            # Frame-index <-> time mapping uses ONE fps value (the same
+            # CFR assumption as cv2's CAP_PROP_POS_FRAMES seek).  On a
+            # VFR stream that mapping selects different frames than the
+            # timestamps imply — silently wrong output for a feature
+            # extractor — so fail loudly instead (round-2 VERDICT item 7).
+            if self.is_vfr and os.environ.get("OFIO_ALLOW_VFR") != "1":
+                self.release()
+                raise IOError(
+                    f"'{path}': variable frame rate stream (non-constant "
+                    "frame intervals in the stream head): frame-index "
+                    "seeks are fps-based and would select wrong frames. "
+                    "Re-encode to constant frame rate, or set "
+                    "OFIO_ALLOW_VFR=1 to force cv2-style fps-based "
+                    "indexing anyway.")
+            if self.rotation_degrees:
+                # decode stays UNROTATED — the reference's pinned cv2
+                # 4.2 behavior (auto-rotation arrived in cv2 4.5); warn
+                # because modern players/decoders will disagree
+                logger.warning(
+                    "'%s' carries a displaymatrix rotation of %g deg; "
+                    "decoding unrotated for cv2-4.2 parity "
+                    "(reference pins opencv-python==4.2.0.32)",
+                    path, self.rotation_degrees)
         else:
             self.fps = 0.0
             self.frame_count = 0

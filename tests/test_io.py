@@ -83,3 +83,60 @@ class TestJpeg:
             da = cv2.imread(ours)
             db = cv2.imread(ref)
             np.testing.assert_array_equal(da, db)
+
+
+class TestStreamMetadata:
+    """VFR + rotation handling (round-2 VERDICT item 7): neither case may
+    produce silently wrong frames.  Fixtures are box-patched CFR files
+    (oracle/mp4edit.py) — no re-encode, so decode remains comparable."""
+
+    def test_rotated_stream_decodes_unrotated_like_cv2_42(self, tmp_path):
+        from optical_flow_tpu.oracle.mp4edit import patch_rotation
+        base = str(tmp_path / "base.mp4")
+        rot = str(tmp_path / "rot.mp4")
+        write_synthetic_video(base, n_frames=30, h=120, w=160, fps=25.0,
+                              seed=3)
+        patch_rotation(base, rot)
+
+        r = VideoReader(rot)
+        assert r.is_opened()
+        assert abs(r.rotation_degrees) == 90    # surfaced, not silent
+        assert not r.is_vfr
+        # pinned behavior: UNROTATED decode, byte-equal to cv2 with
+        # auto-rotation disabled (cv2 4.2 had no auto-rotation at all;
+        # modern cv2 rotates by default — verified: default read returns
+        # (160, 120), which is exactly the divergence we refuse to hide)
+        cap = cv2.VideoCapture(rot)
+        cap.set(cv2.CAP_PROP_ORIENTATION_AUTO, 0)
+        cap.set(cv2.CAP_PROP_POS_FRAMES, 5)
+        ok_ref, ref = cap.read()
+        cap.release()
+        ok, ours = r.read_at(5)
+        r.release()
+        assert ok and ok_ref
+        assert ours.shape == (120, 160, 3)
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_vfr_stream_fails_loudly(self, tmp_path, monkeypatch):
+        from optical_flow_tpu.oracle.mp4edit import patch_vfr
+        base = str(tmp_path / "base.mp4")
+        vfr = str(tmp_path / "vfr.mp4")
+        write_synthetic_video(base, n_frames=30, h=120, w=160, fps=25.0,
+                              seed=3)
+        patch_vfr(base, vfr)
+
+        with pytest.raises(IOError, match="variable frame rate"):
+            VideoReader(vfr)
+        # explicit override: cv2-style fps-based indexing, flagged
+        monkeypatch.setenv("OFIO_ALLOW_VFR", "1")
+        r = VideoReader(vfr)
+        assert r.is_opened() and r.is_vfr
+        ok, frame = r.read_at(0)
+        assert ok and frame.shape == (120, 160, 3)
+        r.release()
+
+    def test_cfr_stream_flags_nothing(self, synthetic_video):
+        r = VideoReader(synthetic_video)
+        assert r.is_opened()
+        assert r.rotation_degrees == 0.0 and not r.is_vfr
+        r.release()
