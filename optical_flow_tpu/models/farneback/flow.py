@@ -142,12 +142,23 @@ def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
         if gauss_resize_fn is not None:
             # smooth + downsample in one kernel (s-fold compute saving)
             I = gauss_resize_fn(both, kern, 2 ** lv.k)
+            Rb = poly_fn(I, cfg.poly_n, cfg.poly_sigma)
         elif (lv.height, lv.width) == (h_full, w_full):
-            I = gauss_fn(both, kern)     # k == 0: resize is the identity
+            # k == 0: resize is the identity
+            if (use_pallas and len(kern) == 3
+                    and poly_fn is not core.poly_exp):
+                # level-0 fast path: the 3-tap pre-smooth runs inside the
+                # polyexp kernel's VMEM pass (the separate full-res blur
+                # measured ~10 ms net at 1080p B=32)
+                Rb = poly_fn(both, cfg.poly_n, cfg.poly_sigma,
+                             pre_taps=tuple(float(t) for t in kern))
+            else:
+                Rb = poly_fn(gauss_fn(both, kern), cfg.poly_n,
+                             cfg.poly_sigma)
         else:
             sm = gauss_fn(both, kern)
             I = resize_bilinear_f32(sm, lv.width, lv.height)
-        Rb = poly_fn(I, cfg.poly_n, cfg.poly_sigma)
+            Rb = poly_fn(I, cfg.poly_n, cfg.poly_sigma)
         # chain slices are free: the iterate loop pads (copies) its R
         # operands anyway, and pad-of-slice fuses into the same copy
         R0, R1 = (Rb[:-1], Rb[1:]) if chain else (Rb[:B], Rb[B:])

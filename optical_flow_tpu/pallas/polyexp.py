@@ -16,6 +16,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -28,14 +29,21 @@ TILE_H = 16
 # combine stage.  Module-global so the A/B harness can flip it.
 FUSED_IG = True
 
+# Fuse the pyramid level-0 3-tap pre-smooth into this kernel (the
+# separate blur pass measured 14-20 ms at 1080p B=32 on v5e — far above
+# its bandwidth floor — while the in-window smooth is a handful of
+# vector ops).  Module-global for the A/B harness.
+FUSE_PRE_SMOOTH = True
+
 
 def _ceil(a: int, m: int) -> int:
     return ((a + m - 1) // m) * m
 
 
-def _kernel_fused(ip_hbm, r_ref, win, sem, *, n: int, pad: int, wp: int,
-                  out_w: int, n_bands: int, g, xg, xxg, ig11, ig03, ig33,
-                  ig55):
+def _kernel_fused(ip_hbm, aux_ref, r_ref, win, sem, *, n: int, pad: int,
+                  wp: int, out_w: int, n_bands: int, g, xg, xxg, ig11,
+                  ig03, ig33, ig55, pre=None, h_real: int = 0,
+                  w_real: int = 0):
     """ig-folded variant: the five outputs are separable correlations with
     COMBINED weights, so the inverse-Gram scalars vanish into the taps —
 
@@ -46,7 +54,17 @@ def _kernel_fused(ip_hbm, r_ref, win, sem, *, n: int, pad: int, wp: int,
       a_xy = (xg_v ⊗ ig55·xg_h)           on rB
 
     — 5 horizontal accumulators instead of 6 and no final combine muls
-    (~15% fewer vector ops/band than the direct form below)."""
+    (~15% fewer vector ops/band than the direct form below).
+
+    pre = (t0, t1, t2): fuse the pyramid level-0 3-tap pre-smooth into
+    the same VMEM pass (the input window is then RAW pixels with
+    REFLECT_101 rows/cols adjacent to the image, see poly_exp_pallas).
+    The replicate-of-SMOOTHED border the moment passes require is
+    restored in-register: out-of-image rows take the vertically-smoothed
+    edge rows handed in via `aux_ref` (they cross band boundaries, so
+    they cannot come from the local window), out-of-image columns take
+    the fully-smoothed edge columns (static slices of the local block).
+    """
     gi = pl.program_id(0)
     n_total = pl.num_programs(0)
     rows = 2 * pad + TILE_H
@@ -73,6 +91,32 @@ def _kernel_fused(ip_hbm, r_ref, win, sem, *, n: int, pad: int, wp: int,
 
     cwv = tuple(ig03 * g[j] + ig33 * xxg[j] for j in range(2 * n + 1))
     w = win[slot]                                 # (rows, wp)
+    if pre is not None:
+        t0p, t1p, t2p = (jnp.float32(t) for t in pre)
+        i_band = gi % n_bands
+        # vertical 3-tap; first/last window rows have no neighbors and
+        # are never read by the moment passes (pad - n - 1 >= 1)
+        zrow = jnp.zeros((1, wp), jnp.float32)
+        sm = jnp.concatenate(
+            [zrow, w[:-2] * t0p + w[1:-1] * t1p + w[2:] * t2p, zrow],
+            axis=0)
+        # rows beyond the image: replicate-of-smoothed via the
+        # precomputed v-smoothed edge rows (aux), which the horizontal
+        # pass below then smooths like every other row
+        abs_row = (i_band * TILE_H
+                   + jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 0))
+        sm = jnp.where(abs_row < pad, aux_ref[0, 0:1, :], sm)
+        sm = jnp.where(abs_row > pad + h_real - 1, aux_ref[0, 1:2, :], sm)
+        # horizontal 3-tap (same zero-edge trick on the lane axis)
+        zcol = jnp.zeros((rows, 1), jnp.float32)
+        w = jnp.concatenate(
+            [zcol, sm[:, :-2] * t0p + sm[:, 1:-1] * t1p + sm[:, 2:] * t2p,
+             zcol], axis=1)
+        # cols beyond the image: replicate the fully-smoothed edge cols
+        col_idx = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 1)
+        w = jnp.where(col_idx < pad, w[:, pad:pad + 1], w)
+        w = jnp.where(col_idx >= pad + w_real,
+                      w[:, pad + w_real - 1:pad + w_real], w)
     rA = rB = rC = None
     for j in range(2 * n + 1):
         t = w[pad - n + j: pad - n + j + TILE_H, :]
@@ -186,7 +230,7 @@ def _kernel(ip_hbm, r_ref, win, sem, *, n: int, pad: int, wp: int,
 
 @functools.lru_cache(maxsize=64)
 def _build(batch: int, h: int, w: int, poly_n: int, poly_sigma: float,
-           fused_ig: bool = True):
+           fused_ig: bool = True, pre: tuple = None):
     g, xg, xxg, ig11, ig03, ig33, ig55 = poly_exp_weights(poly_n, poly_sigma)
     pad = _ceil(max(poly_n, 1), 8)
     hp = _ceil(h, TILE_H)
@@ -198,16 +242,34 @@ def _build(batch: int, h: int, w: int, poly_n: int, poly_sigma: float,
     def omap(gi):
         return (gi // n_bands, 0, gi % n_bands, 0)
 
+    common = dict(n=poly_n, pad=pad, wp=wp, out_w=out_w, n_bands=n_bands,
+                  g=tuple(float(x) for x in g),
+                  xg=tuple(float(x) for x in xg),
+                  xxg=tuple(float(x) for x in xxg),
+                  ig11=ig11, ig03=ig03, ig33=ig33, ig55=ig55)
+    if pre is not None:
+        assert fused_ig and len(pre) == 3 and poly_n + 1 < pad
+        body = functools.partial(_kernel_fused, pre=pre, h_real=h,
+                                 w_real=w, **common)
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 2, wp), lambda gi: (gi // n_bands, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    else:
+        if fused_ig:
+            inner = functools.partial(_kernel_fused, **common)
+
+            def body(ip_hbm, r_ref, win, sem):
+                inner(ip_hbm, None, r_ref, win, sem)
+        else:
+            body = functools.partial(_kernel, **common)
+        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+
     kernel = pl.pallas_call(
-        functools.partial(
-            _kernel_fused if fused_ig else _kernel,
-            n=poly_n, pad=pad, wp=wp, out_w=out_w, n_bands=n_bands,
-            g=tuple(float(x) for x in g),
-            xg=tuple(float(x) for x in xg),
-            xxg=tuple(float(x) for x in xxg),
-            ig11=ig11, ig03=ig03, ig33=ig33, ig55=ig55),
+        body,
         grid=(batch * n_bands,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 5, TILE_H, out_w), omap,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((batch, 5, hp, out_w), jnp.float32),
@@ -219,12 +281,46 @@ def _build(batch: int, h: int, w: int, poly_n: int, poly_sigma: float,
     return kernel, pad, hp, wp
 
 
-def poly_exp_pallas(img, poly_n: int, poly_sigma: float):
-    """Batched fused polyexp: img (B, H, W) f32 -> R (B, 5, H, W) f32."""
+def poly_exp_pallas(img, poly_n: int, poly_sigma: float, pre_taps=None):
+    """Batched fused polyexp: img (B, H, W) f32 -> R (B, 5, H, W) f32.
+
+    pre_taps: optional length-3 smoothing taps — computes
+    poly_exp(gaussian_blur_reflect101(img, pre_taps)) in ONE kernel pass
+    (the pyramid's level-0 pre-smooth; saves the separate full-res blur
+    pass and its HBM round trip).
+    """
     B, H, W = img.shape
+    if pre_taps is not None and (not FUSE_PRE_SMOOTH or not FUSED_IG
+                                 or len(pre_taps) != 3 or H < 3 or W < 3):
+        from optical_flow_tpu.models.farneback.core import (
+            gaussian_blur_reflect101)
+        return poly_exp_pallas(
+            gaussian_blur_reflect101(img, np.asarray(pre_taps)),
+            poly_n, poly_sigma)
+    pre = tuple(float(t) for t in pre_taps) if pre_taps is not None else None
     kernel, pad, hp, wp = _build(B, H, W, poly_n, poly_sigma,
-                                 fused_ig=FUSED_IG)
-    ip = jnp.pad(img, [(0, 0), (pad, pad), (pad, pad)], mode="edge")
-    ip = jnp.pad(ip, [(0, 0), (0, hp - H), (0, wp - (W + 2 * pad))])
-    R = kernel(ip)
-    return R[:, :, :H, :W]
+                                 fused_ig=FUSED_IG, pre=pre)
+    if pre is None:
+        ip = jnp.pad(img, [(0, 0), (pad, pad), (pad, pad)], mode="edge")
+        ip = jnp.pad(ip, [(0, 0), (0, hp - H), (0, wp - (W + 2 * pad))])
+        return kernel(ip)[:, :, :H, :W]
+
+    # RAW input with the REFLECT_101 rows/cols the in-window smooth needs
+    # adjacent to the image; everything further out is rewritten by the
+    # kernel's border logic, so it can stay zero
+    z = lambda *s: jnp.zeros(s, img.dtype)  # noqa: E731
+    rs = jnp.concatenate(
+        [z(B, pad - 1, W), img[:, 1:2], img, img[:, H - 2:H - 1],
+         z(B, hp + pad - H - 1, W)], axis=1)          # (B, hp + 2*pad, W)
+    ip = jnp.concatenate(
+        [z(B, hp + 2 * pad, pad - 1), rs[:, :, 1:2], rs,
+         rs[:, :, W - 2:W - 1], z(B, hp + 2 * pad, wp - W - pad - 1)],
+        axis=2)                                       # (B, hp + 2*pad, wp)
+    # v-smoothed edge rows (image rows 0 and H-1), on the padded column
+    # grid; the kernel's horizontal pass smooths them like any other row
+    t0, t1, t2 = pre
+    aux = jnp.stack([
+        ip[:, pad - 1] * t0 + ip[:, pad] * t1 + ip[:, pad + 1] * t2,
+        (ip[:, pad + H - 2] * t0 + ip[:, pad + H - 1] * t1
+         + ip[:, pad + H] * t2)], axis=1)             # (B, 2, wp)
+    return kernel(ip, aux)[:, :, :H, :W]

@@ -26,10 +26,22 @@ from optical_flow_tpu.io.video import VideoReader
 
 
 def default_decode_workers(n_positions: int) -> int:
-    """Segment count: parallel decode pays off past a handful of frames."""
+    """Segment count for parallel decode.
+
+    Scales with the host's cores instead of a fixed constant (round-2
+    advisory: a 4-worker cap tuned on this dev box starves many-core
+    production hosts on the decode-dominated full-res extractor).  Each
+    worker is a libav decode thread-group doing real work; past ~16
+    segments per video the per-segment seek overhead outweighs decode
+    overlap.  `OFT_DECODE_WORKERS` overrides for measurement or
+    containers with misleading cpu_count."""
+    env = os.environ.get("OFT_DECODE_WORKERS")
+    if env:
+        return max(1, int(env))
     if n_positions < 8:
         return 1
-    return max(1, min(4, os.cpu_count() or 1))
+    cap = min(16, max(1, n_positions // 8))
+    return max(1, min(cap, os.cpu_count() or 1))
 
 
 class DecodePrefetcher:

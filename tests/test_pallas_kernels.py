@@ -226,6 +226,30 @@ class TestPolyExpKernel:
         np.testing.assert_allclose(out, ref, atol=2e-2, rtol=1e-5)
 
 
+class TestPolyExpPreSmooth:
+    @pytest.mark.parametrize("H,W", [
+        (32, 256),
+        (40, 130),        # unaligned width
+        (33, 257),        # partial last band: bottom-border rewrite path
+        (17, 140),        # two bands, image ends mid-second-band
+    ])
+    def test_fused_pre_smooth_matches_blur_then_polyexp(self, H, W):
+        """pre_taps fuses the pyramid's level-0 3-tap smooth into the
+        polyexp kernel; must equal blur(REFLECT_101) -> polyexp(edge)
+        including the replicate-of-smoothed borders."""
+        from optical_flow_tpu.models.farneback import core
+        from optical_flow_tpu.models.farneback.params import gaussian_kernel
+        from optical_flow_tpu.pallas.polyexp import poly_exp_pallas
+        rng = np.random.default_rng(5)
+        img = jnp.asarray(rng.uniform(0, 255, (2, H, W)).astype(np.float32))
+        taps = gaussian_kernel(3, 0.0)
+        out = np.asarray(poly_exp_pallas(img, 5, 1.2,
+                                         pre_taps=tuple(taps)))
+        ref = np.asarray(core.poly_exp(
+            core.gaussian_blur_reflect101(img, taps), 5, 1.2))
+        np.testing.assert_allclose(out, ref, atol=2e-2, rtol=1e-5)
+
+
 class TestGaussResizeKernel:
     @pytest.mark.parametrize("H,W,s,ks,sigma", [
         (64, 256, 2, 3, 0.5),       # level 1 params
