@@ -225,6 +225,24 @@ def _cases(quick: bool = False) -> List[Dict]:
         in_quick=True)
     add("polyexp/chunked_32x1200", 2e-2, 1e-5, poly_case(32, 1200))
 
+    # --- polyexp with the fused level-0 pre-smooth (production L0 path) ---
+    def poly_pre_case(H, W):
+        def run():
+            from optical_flow_tpu.pallas.polyexp import poly_exp_pallas
+            taps = gaussian_kernel(3, 0.0)
+            rng = np.random.default_rng(5)
+            img = jnp.asarray(
+                rng.uniform(0, 255, (2, H, W)).astype(np.float32))
+            out = poly_exp_pallas(img, 5, 1.2, pre_taps=tuple(taps))
+            ref = core.poly_exp(
+                core.gaussian_blur_reflect101(img, taps), 5, 1.2)
+            return out, ref
+        return run
+
+    add("polyexp/pre_smooth_32x256", 2e-2, 1e-5, poly_pre_case(32, 256))
+    add("polyexp/pre_smooth_border_33x257", 2e-2, 1e-5,
+        poly_pre_case(33, 257))
+
     return cases
 
 
