@@ -99,7 +99,7 @@ def _pick_fused_update_flow(h: int, w: int, winsize: int):
 
 
 def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
-                  initial_flow=None, chain: bool = False):
+                  initial_flow=None, chain: bool = False, sp_kernels=None):
     """Run the full coarse-to-fine schedule on (B, H, W) f32 frame batches.
 
     initial_flow: optional (B, 2, H, W) seed used at the coarsest level
@@ -112,6 +112,13 @@ def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
     of twice — the visualizer's workload shape
     (`visualize_optical_flow.py:62`: prev = curr chains every sampled
     frame into the next pair).
+
+    sp_kernels: optional parallel.halo.HaloKernels — the spatially-sharded
+    stencil entries (shard_map + ppermute halo exchange).  When set, the
+    separable stages (gauss / polyexp / blur+solve) run as halo-exchanged
+    per-shard kernels and the fused single-chip variants are disabled;
+    the displaced-fetch update stays on the XLA path (its gather needs
+    global access — see parallel/halo.py).
 
     Returns (flow, tiers): tiers is the (2,) int32 sum of the update
     kernel's exactness-tier flags over all levels/iterations ([tier-2
@@ -128,17 +135,23 @@ def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
     flow = None
     tiers_total = jnp.zeros((2,), jnp.int32)
     for lv in plan.levels:
-        poly_fn = (_pick_poly_exp_fn(lv.height, lv.width)
-                   if use_pallas else core.poly_exp)
+        if sp_kernels is not None:
+            poly_fn = sp_kernels.poly_exp
+        else:
+            poly_fn = (_pick_poly_exp_fn(lv.height, lv.width)
+                       if use_pallas else core.poly_exp)
         kern = gaussian_kernel(lv.smooth_ksize, lv.smooth_sigma)
         h_full, w_full = prev_f.shape[-2:]
-        gauss_fn = (_pick_gauss_fn(h_full, w_full)
-                    if use_pallas else core.gaussian_blur_reflect101)
+        if sp_kernels is not None:
+            gauss_fn = sp_kernels.gauss
+        else:
+            gauss_fn = (_pick_gauss_fn(h_full, w_full)
+                        if use_pallas else core.gaussian_blur_reflect101)
         # unique frames as one batch for the shared smoothing/polyexp
         both = prev_f if chain else jnp.concatenate([prev_f, nxt_f], axis=0)
         gauss_resize_fn = (_pick_gauss_resize_fn(
             h_full, w_full, lv.height, lv.width, 2 ** lv.k)
-            if use_pallas else None)
+            if use_pallas and sp_kernels is None else None)
         if gauss_resize_fn is not None:
             # smooth + downsample in one kernel (s-fold compute saving)
             I = gauss_resize_fn(both, kern, 2 ** lv.k)
@@ -175,18 +188,22 @@ def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
             flow = flow * jnp.float32(1.0 / cfg.pyr_scale)
 
         fused_fn = (_pick_fused_update_flow(lv.height, lv.width, cfg.winsize)
-                    if use_pallas else None)
+                    if use_pallas and sp_kernels is None else None)
         if fused_fn is not None:
             flow, tiers = fused_fn(R0, R1, flow, cfg.winsize, cfg.iterations,
                                    gaussian=cfg.gaussian_window)
             tiers_total = tiers_total + tiers
             continue
         update_fn_stats = (_pick_update_fn_stats(lv.height, lv.width)
-                           if use_pallas else None)
-        blur_solve_fn = (_pick_blur_solve_fn(lv.height, lv.width,
-                                             cfg.winsize,
-                                             cfg.gaussian_window)
-                         if use_pallas else None)
+                           if use_pallas and sp_kernels is None else None)
+        if sp_kernels is not None:
+            blur_solve_fn = (lambda M: sp_kernels.blur_solve(
+                M, cfg.winsize, cfg.gaussian_window))
+        else:
+            blur_solve_fn = (_pick_blur_solve_fn(lv.height, lv.width,
+                                                 cfg.winsize,
+                                                 cfg.gaussian_window)
+                             if use_pallas else None)
         if update_fn_stats is not None:
             flow, tiers = core.update_flow(
                 R0, R1, flow, cfg.winsize, cfg.iterations,

@@ -8,8 +8,11 @@ from optical_flow_tpu.parallel.mesh import (
     sharded_flow_step,
 )
 from optical_flow_tpu.parallel.corpus import shard_videoids
+from optical_flow_tpu.parallel.halo import HaloKernels, halo_extend
 
 __all__ = [
+    "HaloKernels",
+    "halo_extend",
     "chain_shards",
     "make_mesh",
     "shard_pairs",

@@ -7,10 +7,11 @@ Python (`optical_flow.py:137`) and frames are processed one pair at a time
   * data parallelism: the frame-pair batch axis is sharded across the
     'data' mesh axis (a shot's pairs spread over chips);
   * spatial parallelism: the image height axis can additionally be sharded
-    across the 'spatial' mesh axis — XLA partitions the Farnebäck stencils
-    and inserts halo exchanges/collectives over ICI automatically from the
-    sharding annotations (the scaling-book recipe: pick a mesh, annotate,
-    let XLA place collectives);
+    across the 'spatial' mesh axis — the separable Farnebäck stencils run
+    as halo-exchanged shard_map regions (ppermute over ICI, Pallas kernels
+    per shard on TPU; parallel/halo.py), while the displaced-fetch update
+    and the resizes stay GSPMD (the scaling-book recipe: pick a mesh,
+    annotate, let XLA place the remaining collectives);
   * TP/PP/EP are N/A for this workload (no weights, no experts — documented
     in SURVEY.md 2e) — batch + spatial are the physically meaningful axes.
 
@@ -81,13 +82,18 @@ def _sharded_flow_fn(mesh: Mesh, h: int, w: int, config: FarnebackConfig):
             check_vma=False)
         return jax.jit(fn)
 
+    # spatial sharding: the separable stencil stages run as halo-exchanged
+    # shard_map regions (ppermute over 'spatial'; Pallas kernels per shard
+    # on TPU backends — parallel/halo.py); the displaced-fetch update and
+    # the resizes stay GSPMD, where XLA places the collectives
+    from optical_flow_tpu.models.farneback.flow import _on_tpu
+    from optical_flow_tpu.parallel.halo import HaloKernels
+    sp_kernels = HaloKernels(mesh, use_pallas=_on_tpu())
+
     def fn(prev, nxt):
-        # spatial sharding: XLA SPMD partitions the whole pyramid (stencil
-        # halos become collective-permutes over ICI); the Pallas kernels
-        # are not spatially partitionable, so the XLA path is used
         flow, tiers = _flow_pyramid(prev.astype(jnp.float32),
                                     nxt.astype(jnp.float32), plan,
-                                    use_pallas=False)
+                                    use_pallas=False, sp_kernels=sp_kernels)
         return jnp.moveaxis(flow, 1, -1), tiers[None]
 
     return jax.jit(fn, in_shardings=(in_s, in_s),
@@ -245,14 +251,18 @@ def _sharded_extract_fn(mesh: Mesh, h: int, w: int, config: FarnebackConfig):
             check_vma=False)
         return jax.jit(fn)
 
+    # spatial sharding (HBM relief at 8K-class frames): halo-exchanged
+    # shard_map stencils with Pallas kernels per shard on TPU backends
+    # (parallel/halo.py); the update gather and resizes stay GSPMD — see
+    # docs/ARCHITECTURE.md "which path runs on hardware"
+    from optical_flow_tpu.models.farneback.flow import _on_tpu
+    from optical_flow_tpu.parallel.halo import HaloKernels
+    sp_kernels = HaloKernels(mesh, use_pallas=_on_tpu())
+
     def fn(prev, nxt):
-        # spatial sharding (HBM relief at 4K+): XLA SPMD partitions the
-        # pyramid; the Pallas kernels are not spatially partitionable, so
-        # the XLA path is used — see docs/ARCHITECTURE.md "which path runs
-        # on hardware"
         flow, tiers = _flow_pyramid(prev.astype(jnp.float32),
                                     nxt.astype(jnp.float32), plan,
-                                    use_pallas=False)
+                                    use_pallas=False, sp_kernels=sp_kernels)
         mag, _ = cart_to_polar(flow[:, 0], flow[:, 1])
         return jnp.sum(mag, axis=(-2, -1)), tiers[None]
 
