@@ -19,6 +19,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_H = 16
 
+# Input builder: "zdus" = zero-pad + thin flipped-DUS reflect bands
+# (bitwise-identical, avoids the slow mode='reflect' lowering);
+# "legacy" = jnp.pad(mode='reflect').  Module-global for A/B harnesses.
+PAD_BUILDER = "zdus"
+
 
 def _ceil(a: int, m: int) -> int:
     return ((a + m - 1) // m) * m
@@ -101,9 +106,28 @@ def gaussian_blur_pallas(img, kernel_taps):
     if r == 0:
         return img
     kern, pad, hp, wp = _build(B, H, W, taps)
-    ip = jnp.pad(img, [(0, 0), (r, r), (r, r)], mode="reflect")
-    ip = jnp.pad(ip, [(0, 0), (pad - r, pad - r), (pad - r, pad - r)])
-    ip = jnp.pad(ip, [(0, 0), (0, hp + 2 * pad - ip.shape[1]),
-                      (0, wp - ip.shape[2])])
+    if PAD_BUILDER == "zdus" and H > r and W > r:
+        # zero-pad once + four thin flipped DUS writes for the
+        # REFLECT_101 bands (bitwise-identical to the mode='reflect' pad
+        # below, which lowers to slow multi-pass copies on this backend —
+        # same finding as pallas/polyexp.py's builder).  Columns first,
+        # then rows from the column-fixed array, so corner regions get
+        # the reflect-of-reflect values.
+        ip = jnp.pad(img, [(0, 0), (pad, hp + pad - H), (pad, wp - pad - W)])
+        ip = jax.lax.dynamic_update_slice(
+            ip, jnp.flip(ip[:, :, pad + 1:pad + 1 + r], 2), (0, 0, pad - r))
+        ip = jax.lax.dynamic_update_slice(
+            ip, jnp.flip(ip[:, :, pad + W - 1 - r:pad + W - 1], 2),
+            (0, 0, pad + W))
+        ip = jax.lax.dynamic_update_slice(
+            ip, jnp.flip(ip[:, pad + 1:pad + 1 + r, :], 1), (0, pad - r, 0))
+        ip = jax.lax.dynamic_update_slice(
+            ip, jnp.flip(ip[:, pad + H - 1 - r:pad + H - 1, :], 1),
+            (0, pad + H, 0))
+    else:
+        ip = jnp.pad(img, [(0, 0), (r, r), (r, r)], mode="reflect")
+        ip = jnp.pad(ip, [(0, 0), (pad - r, pad - r), (pad - r, pad - r)])
+        ip = jnp.pad(ip, [(0, 0), (0, hp + 2 * pad - ip.shape[1]),
+                          (0, wp - ip.shape[2])])
     out = kern(ip)
     return out[:, :H, :W]

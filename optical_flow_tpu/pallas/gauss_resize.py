@@ -31,7 +31,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_H = 16        # output rows per grid step
+TILE_H = 16
+
+# Input builder: "zdus" = zero-pad + thin flipped-DUS reflect bands
+# (bitwise-identical, avoids the slow mode='reflect' lowering);
+# "legacy" = jnp.pad(mode='reflect').  Module-global for A/B harnesses.
+PAD_BUILDER = "zdus"        # output rows per grid step
 
 
 def _ceil(a: int, m: int) -> int:
@@ -134,8 +139,6 @@ def gaussian_blur_resize_pallas(img, kernel_taps, s: int):
 
     # reflect-101 border for the Gaussian reach (like pallas/gauss.py)
     pad_edge = r + 1
-    ip = jnp.pad(img, [(0, 0), (pad_edge, pad_edge), (pad_edge, pad_edge)],
-                 mode="reflect")
 
     out_h_p = _ceil(out_h, TILE_H)
     # input row of tap j for output row Y: first + s*Y + j, with
@@ -153,9 +156,30 @@ def gaussian_blur_resize_pallas(img, kernel_taps, s: int):
     # over-read of the padded band/window grid
     win_rows = _ceil((a_max - a0) + TILE_H, 8)
     hr = out_h_p + a0 + win_rows          # plane rows (generous bound)
-    wp = _ceil(ip.shape[2], 128)
-    ip = jnp.pad(ip, [(0, 0), (0, hr * s - ip.shape[1]),
-                      (0, wp - ip.shape[2])])
+    wp = _ceil(W + 2 * pad_edge, 128)
+    if PAD_BUILDER == "zdus" and H > pad_edge and W > pad_edge:
+        # zero-pad to the final shape + four thin flipped DUS writes for
+        # the REFLECT_101 bands (bitwise-identical to the mode='reflect'
+        # pad below, which lowers to slow multi-pass copies on this
+        # backend; same finding as pallas/polyexp.py).  Columns first,
+        # then rows from the column-fixed array.
+        p = pad_edge
+        ip = jnp.pad(img, [(0, 0), (p, hr * s - H - p), (p, wp - W - p)])
+        ip = jax.lax.dynamic_update_slice(
+            ip, jnp.flip(ip[:, :, p + 1:2 * p + 1], 2), (0, 0, 0))
+        ip = jax.lax.dynamic_update_slice(
+            ip, jnp.flip(ip[:, :, p + W - 1 - p:p + W - 1], 2),
+            (0, 0, p + W))
+        ip = jax.lax.dynamic_update_slice(
+            ip, jnp.flip(ip[:, p + 1:2 * p + 1, :], 1), (0, 0, 0))
+        ip = jax.lax.dynamic_update_slice(
+            ip, jnp.flip(ip[:, p + H - 1 - p:p + H - 1, :], 1),
+            (0, p + H, 0))
+    else:
+        ip = jnp.pad(img, [(0, 0), (pad_edge, pad_edge),
+                           (pad_edge, pad_edge)], mode="reflect")
+        ip = jnp.pad(ip, [(0, 0), (0, hr * s - ip.shape[1]),
+                          (0, wp - ip.shape[2])])
     # phase-major restride: (B, hr*s, wp) -> (B, s, hr, wp); one cheap
     # XLA HBM copy replaces all strided VMEM access in the kernel
     ip_ph = ip.reshape(B, hr, s, wp).transpose(0, 2, 1, 3)

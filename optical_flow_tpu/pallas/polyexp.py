@@ -22,7 +22,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from optical_flow_tpu.models.farneback.params import poly_exp_weights
 
-TILE_H = 16
+# Band height.  32 measured fastest at 1080p B=16 on v5e (whole-pipeline
+# A/B, benchmarks/exp_polyexp_prod.py: 111.6 pairs/s at 16 rows -> 114.5
+# at 32, bitwise-identical flow) — the kernel is data-movement bound
+# (see docs/KERNELS.md), so halving the grid-step count and cutting the
+# window halo overfetch from 2x to 1.5x beats the 16-row default the
+# store kernels use.
+TILE_H = 32
 
 # Fold the inverse-Gram combination into the correlation taps (see
 # _kernel): saves one horizontal accumulator and the whole per-chunk
@@ -34,6 +40,15 @@ FUSED_IG = True
 # its bandwidth floor — while the in-window smooth is a handful of
 # vector ops).  Module-global for the A/B harness.
 FUSE_PRE_SMOOTH = True
+
+# How the padded input array is materialized before the kernel:
+#   "zdus"   — one constant (zero) pad + thin in-place dynamic-update-slice
+#              writes for the replicate/reflect borders (bitwise-identical
+#              array; measured ~0.8 ms/call cheaper than the edge-mode pad
+#              at 1080p B=16 on v5e — jnp.pad(mode='edge'/concatenate)
+#              lowers to slow multi-pass copies on this backend)
+#   "legacy" — jnp.pad(mode='edge') / concatenate (kept for A/B)
+PAD_BUILDER = "zdus"
 
 
 def _ceil(a: int, m: int) -> int:
@@ -301,21 +316,56 @@ def poly_exp_pallas(img, poly_n: int, poly_sigma: float, pre_taps=None):
     kernel, pad, hp, wp = _build(B, H, W, poly_n, poly_sigma,
                                  fused_ig=FUSED_IG, pre=pre)
     if pre is None:
-        ip = jnp.pad(img, [(0, 0), (pad, pad), (pad, pad)], mode="edge")
-        ip = jnp.pad(ip, [(0, 0), (0, hp - H), (0, wp - (W + 2 * pad))])
+        if PAD_BUILDER == "zdus" and H >= 1 and W >= 1:
+            # zero-pad once, then write the pad-deep replicate bands with
+            # in-place dynamic-update-slices (broadcasts of the edge
+            # row/col); bitwise-identical to the edge pad below but avoids
+            # its slow multi-pass lowering.  Column bands are written last
+            # so corners replicate the corner pixel like mode='edge'.
+            ip = jnp.pad(img, [(0, 0), (pad, hp - H + pad),
+                               (pad, wp - W - pad)])
+            top = jnp.broadcast_to(ip[:, pad:pad + 1, :], (B, pad, wp))
+            bot = jnp.broadcast_to(ip[:, pad + H - 1:pad + H, :],
+                                   (B, pad, wp))
+            ip = jax.lax.dynamic_update_slice(ip, top, (0, 0, 0))
+            ip = jax.lax.dynamic_update_slice(ip, bot, (0, pad + H, 0))
+            rows_p = hp + 2 * pad
+            left = jnp.broadcast_to(ip[:, :, pad:pad + 1], (B, rows_p, pad))
+            right = jnp.broadcast_to(ip[:, :, pad + W - 1:pad + W],
+                                     (B, rows_p, pad))
+            ip = jax.lax.dynamic_update_slice(ip, left, (0, 0, 0))
+            ip = jax.lax.dynamic_update_slice(ip, right, (0, 0, pad + W))
+        else:
+            ip = jnp.pad(img, [(0, 0), (pad, pad), (pad, pad)], mode="edge")
+            ip = jnp.pad(ip, [(0, 0), (0, hp - H),
+                              (0, wp - (W + 2 * pad))])
         return kernel(ip)[:, :, :H, :W]
 
     # RAW input with the REFLECT_101 rows/cols the in-window smooth needs
     # adjacent to the image; everything further out is rewritten by the
     # kernel's border logic, so it can stay zero
-    z = lambda *s: jnp.zeros(s, img.dtype)  # noqa: E731
-    rs = jnp.concatenate(
-        [z(B, pad - 1, W), img[:, 1:2], img, img[:, H - 2:H - 1],
-         z(B, hp + pad - H - 1, W)], axis=1)          # (B, hp + 2*pad, W)
-    ip = jnp.concatenate(
-        [z(B, hp + 2 * pad, pad - 1), rs[:, :, 1:2], rs,
-         rs[:, :, W - 2:W - 1], z(B, hp + 2 * pad, wp - W - pad - 1)],
-        axis=2)                                       # (B, hp + 2*pad, wp)
+    if PAD_BUILDER == "zdus":
+        # same array as the concatenate builder below, built as one zero
+        # pad + four 1-px dynamic-update-slices (cols first, then rows, so
+        # the reflected rows carry the reflected corner values)
+        ip = jnp.pad(img, [(0, 0), (pad, hp - H + pad), (pad, wp - W - pad)])
+        ip = jax.lax.dynamic_update_slice(
+            ip, ip[:, :, pad + 1:pad + 2], (0, 0, pad - 1))
+        ip = jax.lax.dynamic_update_slice(
+            ip, ip[:, :, pad + W - 2:pad + W - 1], (0, 0, pad + W))
+        ip = jax.lax.dynamic_update_slice(
+            ip, ip[:, pad + 1:pad + 2, :], (0, pad - 1, 0))
+        ip = jax.lax.dynamic_update_slice(
+            ip, ip[:, pad + H - 2:pad + H - 1, :], (0, pad + H, 0))
+    else:
+        z = lambda *s: jnp.zeros(s, img.dtype)  # noqa: E731
+        rs = jnp.concatenate(
+            [z(B, pad - 1, W), img[:, 1:2], img, img[:, H - 2:H - 1],
+             z(B, hp + pad - H - 1, W)], axis=1)      # (B, hp + 2*pad, W)
+        ip = jnp.concatenate(
+            [z(B, hp + 2 * pad, pad - 1), rs[:, :, 1:2], rs,
+             rs[:, :, W - 2:W - 1], z(B, hp + 2 * pad, wp - W - pad - 1)],
+            axis=2)                                   # (B, hp + 2*pad, wp)
     # v-smoothed edge rows (image rows 0 and H-1), on the padded column
     # grid; the kernel's horizontal pass smooths them like any other row
     t0, t1, t2 = pre
