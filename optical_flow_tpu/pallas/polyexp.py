@@ -30,6 +30,14 @@ from optical_flow_tpu.models.farneback.params import poly_exp_weights
 # store kernels use.
 TILE_H = 32
 
+# Mosaic's scoped-VMEM stack is 16 MB and the kernel's footprint grows
+# with band_height x padded width: 32-row bands measured 19.65 MB at 4K
+# (wp=3968, compile error) but fit at 1080p (wp=2064); 48-row bands
+# already blow it at 1080p.  Wider frames fall back to 16-row bands
+# (the round-2 shipped config, green through 4K).  2304 leaves ~4 MB of
+# headroom by linear wp scaling from the 4K measurement.
+TILE32_WP_LIMIT = 2304
+
 # Fold the inverse-Gram combination into the correlation taps (see
 # _kernel): saves one horizontal accumulator and the whole per-chunk
 # combine stage.  Module-global so the A/B harness can flip it.
@@ -56,9 +64,9 @@ def _ceil(a: int, m: int) -> int:
 
 
 def _kernel_fused(ip_hbm, aux_ref, r_ref, win, sem, *, n: int, pad: int,
-                  wp: int, out_w: int, n_bands: int, g, xg, xxg, ig11,
-                  ig03, ig33, ig55, pre=None, h_real: int = 0,
-                  w_real: int = 0):
+                  wp: int, out_w: int, n_bands: int, tile_h: int, g,
+                  xg, xxg, ig11, ig03, ig33, ig55, pre=None,
+                  h_real: int = 0, w_real: int = 0):
     """ig-folded variant: the five outputs are separable correlations with
     COMBINED weights, so the inverse-Gram scalars vanish into the taps —
 
@@ -82,13 +90,13 @@ def _kernel_fused(ip_hbm, aux_ref, r_ref, win, sem, *, n: int, pad: int,
     """
     gi = pl.program_id(0)
     n_total = pl.num_programs(0)
-    rows = 2 * pad + TILE_H
+    rows = 2 * pad + tile_h
 
     def dma(slot, step):
         b = step // n_bands
         i = step % n_bands
         return pltpu.make_async_copy(
-            ip_hbm.at[b, pl.ds(i * TILE_H, rows), :], win.at[slot],
+            ip_hbm.at[b, pl.ds(i * tile_h, rows), :], win.at[slot],
             sem.at[slot])
 
     slot = jax.lax.rem(gi, 2)
@@ -118,7 +126,7 @@ def _kernel_fused(ip_hbm, aux_ref, r_ref, win, sem, *, n: int, pad: int,
         # rows beyond the image: replicate-of-smoothed via the
         # precomputed v-smoothed edge rows (aux), which the horizontal
         # pass below then smooths like every other row
-        abs_row = (i_band * TILE_H
+        abs_row = (i_band * tile_h
                    + jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 0))
         sm = jnp.where(abs_row < pad, aux_ref[0, 0:1, :], sm)
         sm = jnp.where(abs_row > pad + h_real - 1, aux_ref[0, 1:2, :], sm)
@@ -134,7 +142,7 @@ def _kernel_fused(ip_hbm, aux_ref, r_ref, win, sem, *, n: int, pad: int,
                       w[:, pad + w_real - 1:pad + w_real], w)
     rA = rB = rC = None
     for j in range(2 * n + 1):
-        t = w[pad - n + j: pad - n + j + TILE_H, :]
+        t = w[pad - n + j: pad - n + j + tile_h, :]
         a = t * jnp.float32(g[j])
         b = t * jnp.float32(xg[j])
         c = t * jnp.float32(cwv[j])
@@ -171,16 +179,17 @@ def _kernel_fused(ip_hbm, aux_ref, r_ref, win, sem, *, n: int, pad: int,
 
 
 def _kernel(ip_hbm, r_ref, win, sem, *, n: int, pad: int, wp: int,
-            out_w: int, n_bands: int, g, xg, xxg, ig11, ig03, ig33, ig55):
+            out_w: int, n_bands: int, tile_h: int, g, xg, xxg, ig11,
+            ig03, ig33, ig55):
     gi = pl.program_id(0)
     n_total = pl.num_programs(0)
-    rows = 2 * pad + TILE_H
+    rows = 2 * pad + tile_h
 
     def dma(slot, step):
         b = step // n_bands
         i = step % n_bands
         return pltpu.make_async_copy(
-            ip_hbm.at[b, pl.ds(i * TILE_H, rows), :], win.at[slot],
+            ip_hbm.at[b, pl.ds(i * tile_h, rows), :], win.at[slot],
             sem.at[slot])
 
     slot = jax.lax.rem(gi, 2)
@@ -200,7 +209,7 @@ def _kernel(ip_hbm, r_ref, win, sem, *, n: int, pad: int, wp: int,
     # vertical pass: 3 moment rows, taps j=0..2n at row offset pad-n+j
     row0 = row1 = row2 = None
     for j in range(2 * n + 1):
-        t = w[pad - n + j: pad - n + j + TILE_H, :]
+        t = w[pad - n + j: pad - n + j + tile_h, :]
         a0 = t * jnp.float32(g[j])
         a1 = t * jnp.float32(xg[j])
         a2 = t * jnp.float32(xxg[j])
@@ -248,16 +257,20 @@ def _build(batch: int, h: int, w: int, poly_n: int, poly_sigma: float,
            fused_ig: bool = True, pre: tuple = None):
     g, xg, xxg, ig11, ig03, ig33, ig55 = poly_exp_weights(poly_n, poly_sigma)
     pad = _ceil(max(poly_n, 1), 8)
-    hp = _ceil(h, TILE_H)
     wp = _ceil(w + 2 * pad, 128)
+    # wide frames fall back to 16-row bands (scoped-VMEM gate, see
+    # TILE32_WP_LIMIT)
+    tile_h = TILE_H if wp <= TILE32_WP_LIMIT else min(TILE_H, 16)
+    hp = _ceil(h, tile_h)
     out_w = wp - 2 * pad
-    rows = 2 * pad + TILE_H
-    n_bands = hp // TILE_H
+    rows = 2 * pad + tile_h
+    n_bands = hp // tile_h
 
     def omap(gi):
         return (gi // n_bands, 0, gi % n_bands, 0)
 
     common = dict(n=poly_n, pad=pad, wp=wp, out_w=out_w, n_bands=n_bands,
+                  tile_h=tile_h,
                   g=tuple(float(x) for x in g),
                   xg=tuple(float(x) for x in xg),
                   xxg=tuple(float(x) for x in xxg),
@@ -285,7 +298,7 @@ def _build(batch: int, h: int, w: int, poly_n: int, poly_sigma: float,
         body,
         grid=(batch * n_bands,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 5, TILE_H, out_w), omap,
+        out_specs=pl.BlockSpec((1, 5, tile_h, out_w), omap,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((batch, 5, hp, out_w), jnp.float32),
         scratch_shapes=[
