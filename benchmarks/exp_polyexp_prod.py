@@ -73,12 +73,14 @@ def main():
         pe._build.cache_clear()
         if len(parts) > 2:
             ga.PAD_BUILDER = gr.PAD_BUILDER = parts[2]
+        input_u8 = len(parts) > 3 and parts[3] == "u8"
 
         @jax.jit
         def fn(p, n):
             fl, _t = flow_mod._flow_pyramid(p.astype(jnp.float32),
                                             n.astype(jnp.float32), plan,
-                                            use_pallas=True)
+                                            use_pallas=True,
+                                            input_u8=input_u8)
             return jnp.moveaxis(fl, 1, -1)
 
         out = fn(prev, nxt)

@@ -99,7 +99,8 @@ def _pick_fused_update_flow(h: int, w: int, winsize: int):
 
 
 def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
-                  initial_flow=None, chain: bool = False, sp_kernels=None):
+                  initial_flow=None, chain: bool = False, sp_kernels=None,
+                  input_u8: bool = False):
     """Run the full coarse-to-fine schedule on (B, H, W) f32 frame batches.
 
     initial_flow: optional (B, 2, H, W) seed used at the coarsest level
@@ -153,8 +154,9 @@ def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
             h_full, w_full, lv.height, lv.width, 2 ** lv.k)
             if use_pallas and sp_kernels is None else None)
         if gauss_resize_fn is not None:
-            # smooth + downsample in one kernel (s-fold compute saving)
-            I = gauss_resize_fn(both, kern, 2 ** lv.k)
+            # smooth + downsample in one kernel (s-fold compute saving);
+            # u8 frames stage the full-res input reads in bf16 (exact)
+            I = gauss_resize_fn(both, kern, 2 ** lv.k, exact_u8=input_u8)
             Rb = poly_fn(I, cfg.poly_n, cfg.poly_sigma)
         elif (lv.height, lv.width) == (h_full, w_full):
             # k == 0: resize is the identity
@@ -162,9 +164,11 @@ def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
                     and poly_fn is not core.poly_exp):
                 # level-0 fast path: the 3-tap pre-smooth runs inside the
                 # polyexp kernel's VMEM pass (the separate full-res blur
-                # measured ~10 ms net at 1080p B=32)
+                # measured ~10 ms net at 1080p B=32); input_u8 additionally
+                # stages the window DMAs in bf16 (exact for u8 frames)
                 Rb = poly_fn(both, cfg.poly_n, cfg.poly_sigma,
-                             pre_taps=tuple(float(t) for t in kern))
+                             pre_taps=tuple(float(t) for t in kern),
+                             exact_u8=input_u8)
             else:
                 Rb = poly_fn(gauss_fn(both, kern), cfg.poly_n,
                              cfg.poly_sigma)
@@ -234,7 +238,8 @@ def _jitted_batched(h: int, w: int, config: FarnebackConfig):
     def fn(prev, nxt):
         flow, tiers = _flow_pyramid(prev.astype(jnp.float32),
                                     nxt.astype(jnp.float32), plan,
-                                    use_pallas)
+                                    use_pallas,
+                                    input_u8=prev.dtype == jnp.uint8)
         return jnp.moveaxis(flow, 1, -1), tiers  # (B, H, W, 2), cv2 layout
 
     return jax.jit(fn)
@@ -252,7 +257,8 @@ def _jitted_batched_bgr(h: int, w: int, config: FarnebackConfig):
     def fn(prev, nxt):
         flow, tiers = _flow_pyramid(prev.astype(jnp.float32),
                                     nxt.astype(jnp.float32), plan,
-                                    use_pallas)
+                                    use_pallas,
+                                    input_u8=prev.dtype == jnp.uint8)
         if use_pallas and min(h, w) >= 32:
             from optical_flow_tpu.pallas.colorize import (
                 flow_to_bgr_planar_pallas)
@@ -290,7 +296,8 @@ def _jitted_chain(h: int, w: int, config: FarnebackConfig):
 
     def fn(frames):
         flow, tiers = _flow_pyramid(frames.astype(jnp.float32), None, plan,
-                                    use_pallas, chain=True)
+                                    use_pallas, chain=True,
+                                    input_u8=frames.dtype == jnp.uint8)
         return jnp.moveaxis(flow, 1, -1), tiers  # (N-1, H, W, 2)
 
     return jax.jit(fn)
@@ -320,7 +327,8 @@ def _jitted_chain_bgr(h: int, w: int, config: FarnebackConfig):
 
     def fn(frames):
         flow, tiers = _flow_pyramid(frames.astype(jnp.float32), None, plan,
-                                    use_pallas, chain=True)
+                                    use_pallas, chain=True,
+                                    input_u8=frames.dtype == jnp.uint8)
         if use_pallas and min(h, w) >= 32:
             from optical_flow_tpu.pallas.colorize import (
                 flow_to_bgr_planar_pallas)
@@ -355,7 +363,8 @@ def _jitted_batched_seeded(h: int, w: int, config: FarnebackConfig):
         flow, tiers = _flow_pyramid(prev.astype(jnp.float32),
                                     nxt.astype(jnp.float32), plan,
                                     use_pallas,
-                                    initial_flow=jnp.moveaxis(flow0, -1, 1))
+                                    initial_flow=jnp.moveaxis(flow0, -1, 1),
+                                    input_u8=prev.dtype == jnp.uint8)
         return jnp.moveaxis(flow, 1, -1), tiers
 
     return jax.jit(fn)

@@ -44,10 +44,12 @@ def _ceil(a: int, m: int) -> int:
 
 
 def _kernel(ip_hbm, o_ref, win, sem, *, taps, s: int, a0: int,
-            win_rows: int, offs, n_bands: int):
+            win_rows: int, offs, n_bands: int, in_bf16: bool = False):
     """Grid: (batch * n_out_bands,).  ip_hbm is phase-major
     (B, s, Hr, wp); offs[j] = (phase, plane_row_offset - a0) per tap.
-    Each step produces TILE_H output rows."""
+    Each step produces TILE_H output rows.  in_bf16: windows arrive as
+    bfloat16 (exact for u8-valued frames) and are widened to f32 once
+    per plane before the unaligned sublane slicing."""
     gi = pl.program_id(0)
     n_total = pl.num_programs(0)
     nt = len(taps)
@@ -76,12 +78,18 @@ def _kernel(ip_hbm, o_ref, win, sem, *, taps, s: int, a0: int,
     for p in range(s):
         dma(slot, gi, p).wait()
 
+    if in_bf16:
+        planes = [win[slot, p].astype(jnp.float32) for p in range(s)]
+        plane_rows = lambda p, off: planes[p][off:off + TILE_H, :]  # noqa: E731
+    else:
+        plane_rows = lambda p, off: win[slot, p, off:off + TILE_H, :]  # noqa: E731
+
     # vertical combined filter: tap j reads TILE_H contiguous rows of its
     # phase plane — all slices are (TILE_H, wp), nothing strided
     v = None
     for j in range(nt):
         p, off = offs[j]
-        t = win[slot, p, off:off + TILE_H, :] * jnp.float32(taps[j])
+        t = plane_rows(p, off) * jnp.float32(taps[j])
         v = t if v is None else v + t
     # dense horizontal pass; the s-strided column select is an XLA slice
     o = None
@@ -94,14 +102,19 @@ def _kernel(ip_hbm, o_ref, win, sem, *, taps, s: int, a0: int,
 
 @functools.lru_cache(maxsize=64)
 def _build(batch: int, hr: int, wp: int, out_h_p: int,
-           taps: tuple, s: int, a0: int, offs: tuple):
+           taps: tuple, s: int, a0: int, offs: tuple,
+           in_bf16: bool = False):
     n_bands = out_h_p // TILE_H
     max_off = max(o for _, o in offs)
-    win_rows = _ceil(max_off + TILE_H, 8)
+    # bf16 VMEM tiles are (16, 128): round the window and keep the DMA
+    # row starts (i*16 + a0, a0 forced to a 16-multiple by the wrapper)
+    # tile-aligned
+    win_rows = _ceil(max_off + TILE_H, 16 if in_bf16 else 8)
 
     return pl.pallas_call(
         functools.partial(_kernel, taps=taps, s=s, a0=a0,
-                          win_rows=win_rows, offs=offs, n_bands=n_bands),
+                          win_rows=win_rows, offs=offs, n_bands=n_bands,
+                          in_bf16=in_bf16),
         grid=(batch * n_bands,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
@@ -110,7 +123,8 @@ def _build(batch: int, hr: int, wp: int, out_h_p: int,
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((batch, out_h_p, wp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, s, win_rows, wp), jnp.float32),
+            pltpu.VMEM((2, s, win_rows, wp),
+                       jnp.bfloat16 if in_bf16 else jnp.float32),
             pltpu.SemaphoreType.DMA((2, s)),
         ],
     )
@@ -123,10 +137,17 @@ def supported(h: int, w: int, out_h: int, out_w: int, s: int) -> bool:
             and min(out_h, out_w) >= 8)
 
 
-def gaussian_blur_resize_pallas(img, kernel_taps, s: int):
+def gaussian_blur_resize_pallas(img, kernel_taps, s: int,
+                                exact_u8: bool = False):
     """img (B, H, W) f32, Gaussian taps (len 2r+1), integer stride s —
     returns (B, H/s, W/s) f32 == resize_bilinear(gauss_reflect101(img))
-    for the exact-division case (up to f32 reassociation)."""
+    for the exact-division case (up to f32 reassociation).
+
+    exact_u8: caller asserts img holds exact uint8 values; the padded
+    phase-major staging array and window DMAs then use bfloat16 (exact
+    for integers <= 255; the kernel widens to f32 before any arithmetic,
+    so the output is bitwise-identical while the full-res input traffic
+    — the dominant cost of the pyramid levels — halves)."""
     B, H, W = img.shape
     out_h, out_w = H // s, W // s
     g = tuple(float(t) for t in kernel_taps)
@@ -139,6 +160,8 @@ def gaussian_blur_resize_pallas(img, kernel_taps, s: int):
 
     # reflect-101 border for the Gaussian reach (like pallas/gauss.py)
     pad_edge = r + 1
+    use_bf16 = (bool(exact_u8) and PAD_BUILDER == "zdus"
+                and H > pad_edge and W > pad_edge)
 
     out_h_p = _ceil(out_h, TILE_H)
     # input row of tap j for output row Y: first + s*Y + j, with
@@ -148,15 +171,19 @@ def gaussian_blur_resize_pallas(img, kernel_taps, s: int):
     offs_raw = [((first + j) % s, (first + j) // s) for j in range(nt)]
     a_min = min(a for _, a in offs_raw)
     a_max = max(a for _, a in offs_raw)
-    a0 = (a_min // 8) * 8
+    # DMA row starts are 16*i + a0: bf16 VMEM tiles are (16, 128), so a0
+    # must be a 16-multiple there (f32 needs 8)
+    a0 = (a_min // 16) * 16 if use_bf16 else (a_min // 8) * 8
     offs = tuple((p, a - a0) for p, a in offs_raw)
 
     # rows needed in phase-major planes: band i covers plane rows
     # [16*i + a0, 16*i + a0 + win_rows); pad the row count to cover the
     # over-read of the padded band/window grid
-    win_rows = _ceil((a_max - a0) + TILE_H, 8)
+    win_rows = _ceil((a_max - a0) + TILE_H, 16 if use_bf16 else 8)
     hr = out_h_p + a0 + win_rows          # plane rows (generous bound)
     wp = _ceil(W + 2 * pad_edge, 128)
+    if use_bf16:
+        img = img.astype(jnp.bfloat16)
     if PAD_BUILDER == "zdus" and H > pad_edge and W > pad_edge:
         # zero-pad to the final shape + four thin flipped DUS writes for
         # the REFLECT_101 bands (bitwise-identical to the mode='reflect'
@@ -184,6 +211,7 @@ def gaussian_blur_resize_pallas(img, kernel_taps, s: int):
     # XLA HBM copy replaces all strided VMEM access in the kernel
     ip_ph = ip.reshape(B, hr, s, wp).transpose(0, 2, 1, 3)
 
-    out = _build(B, hr, wp, out_h_p, taps, s, a0, offs)(ip_ph)
+    out = _build(B, hr, wp, out_h_p, taps, s, a0, offs,
+                 in_bf16=use_bf16)(ip_ph)
     col0 = s // 2 - 1 - r + pad_edge
     return out[:, :out_h, col0:col0 + s * out_w:s]

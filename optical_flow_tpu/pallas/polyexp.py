@@ -66,7 +66,7 @@ def _ceil(a: int, m: int) -> int:
 def _kernel_fused(ip_hbm, aux_ref, r_ref, win, sem, *, n: int, pad: int,
                   wp: int, out_w: int, n_bands: int, tile_h: int, g,
                   xg, xxg, ig11, ig03, ig33, ig55, pre=None,
-                  h_real: int = 0, w_real: int = 0):
+                  h_real: int = 0, w_real: int = 0, in_bf16: bool = False):
     """ig-folded variant: the five outputs are separable correlations with
     COMBINED weights, so the inverse-Gram scalars vanish into the taps —
 
@@ -114,6 +114,11 @@ def _kernel_fused(ip_hbm, aux_ref, r_ref, win, sem, *, n: int, pad: int,
 
     cwv = tuple(ig03 * g[j] + ig33 * xxg[j] for j in range(2 * n + 1))
     w = win[slot]                                 # (rows, wp)
+    if in_bf16:
+        # bf16 window DMA (half the HBM read); exact when the input is
+        # u8-valued (integers <= 255 are exactly representable in bf16),
+        # all arithmetic stays f32 after this one conversion
+        w = w.astype(jnp.float32)
     if pre is not None:
         t0p, t1p, t2p = (jnp.float32(t) for t in pre)
         i_band = gi % n_bands
@@ -254,7 +259,8 @@ def _kernel(ip_hbm, r_ref, win, sem, *, n: int, pad: int, wp: int,
 
 @functools.lru_cache(maxsize=64)
 def _build(batch: int, h: int, w: int, poly_n: int, poly_sigma: float,
-           fused_ig: bool = True, pre: tuple = None):
+           fused_ig: bool = True, pre: tuple = None,
+           in_bf16: bool = False):
     g, xg, xxg, ig11, ig03, ig33, ig55 = poly_exp_weights(poly_n, poly_sigma)
     pad = _ceil(max(poly_n, 1), 8)
     wp = _ceil(w + 2 * pad, 128)
@@ -278,7 +284,7 @@ def _build(batch: int, h: int, w: int, poly_n: int, poly_sigma: float,
     if pre is not None:
         assert fused_ig and len(pre) == 3 and poly_n + 1 < pad
         body = functools.partial(_kernel_fused, pre=pre, h_real=h,
-                                 w_real=w, **common)
+                                 w_real=w, in_bf16=in_bf16, **common)
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((1, 2, wp), lambda gi: (gi // n_bands, 0, 0),
@@ -302,20 +308,29 @@ def _build(batch: int, h: int, w: int, poly_n: int, poly_sigma: float,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((batch, 5, hp, out_w), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, rows, wp), jnp.float32),
+            pltpu.VMEM((2, rows, wp),
+                       jnp.bfloat16 if in_bf16 else jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return kernel, pad, hp, wp
 
 
-def poly_exp_pallas(img, poly_n: int, poly_sigma: float, pre_taps=None):
+def poly_exp_pallas(img, poly_n: int, poly_sigma: float, pre_taps=None,
+                    exact_u8: bool = False):
     """Batched fused polyexp: img (B, H, W) f32 -> R (B, 5, H, W) f32.
 
     pre_taps: optional length-3 smoothing taps — computes
     poly_exp(gaussian_blur_reflect101(img, pre_taps)) in ONE kernel pass
     (the pyramid's level-0 pre-smooth; saves the separate full-res blur
     pass and its HBM round trip).
+
+    exact_u8: caller asserts img holds exact uint8 values (0..255
+    integers, e.g. decoded frames cast to f32).  The pre-smooth path then
+    stages the padded input and window DMAs in bfloat16 — integers up to
+    256 are exactly representable in bf16 and every arithmetic op stays
+    f32 after the in-kernel widen, so the output is BITWISE IDENTICAL to
+    the f32 staging while the dominant input-side HBM traffic halves.
     """
     B, H, W = img.shape
     if pre_taps is not None and (not FUSE_PRE_SMOOTH or not FUSED_IG
@@ -326,8 +341,10 @@ def poly_exp_pallas(img, poly_n: int, poly_sigma: float, pre_taps=None):
             gaussian_blur_reflect101(img, np.asarray(pre_taps)),
             poly_n, poly_sigma)
     pre = tuple(float(t) for t in pre_taps) if pre_taps is not None else None
+    use_bf16 = bool(exact_u8) and pre is not None and PAD_BUILDER == "zdus"
     kernel, pad, hp, wp = _build(B, H, W, poly_n, poly_sigma,
-                                 fused_ig=FUSED_IG, pre=pre)
+                                 fused_ig=FUSED_IG, pre=pre,
+                                 in_bf16=use_bf16)
     if pre is None:
         if PAD_BUILDER == "zdus" and H >= 1 and W >= 1:
             # zero-pad once, then write the pad-deep replicate bands with
@@ -360,8 +377,12 @@ def poly_exp_pallas(img, poly_n: int, poly_sigma: float, pre_taps=None):
     if PAD_BUILDER == "zdus":
         # same array as the concatenate builder below, built as one zero
         # pad + four 1-px dynamic-update-slices (cols first, then rows, so
-        # the reflected rows carry the reflected corner values)
-        ip = jnp.pad(img, [(0, 0), (pad, hp - H + pad), (pad, wp - W - pad)])
+        # the reflected rows carry the reflected corner values).  Under
+        # exact_u8 the staging array is bf16 (exact for u8 values; the
+        # cast fuses into the pad copy, halving its write and the window
+        # DMAs) — aux below is computed in f32 regardless.
+        base = img.astype(jnp.bfloat16) if use_bf16 else img
+        ip = jnp.pad(base, [(0, 0), (pad, hp - H + pad), (pad, wp - W - pad)])
         ip = jax.lax.dynamic_update_slice(
             ip, ip[:, :, pad + 1:pad + 2], (0, 0, pad - 1))
         ip = jax.lax.dynamic_update_slice(
@@ -380,10 +401,13 @@ def poly_exp_pallas(img, poly_n: int, poly_sigma: float, pre_taps=None):
              rs[:, :, W - 2:W - 1], z(B, hp + 2 * pad, wp - W - pad - 1)],
             axis=2)                                   # (B, hp + 2*pad, wp)
     # v-smoothed edge rows (image rows 0 and H-1), on the padded column
-    # grid; the kernel's horizontal pass smooths them like any other row
+    # grid; the kernel's horizontal pass smooths them like any other row.
+    # The f32 widen of the (exact) row values keeps aux bitwise-equal to
+    # the all-f32 staging when ip is bf16.
     t0, t1, t2 = pre
+    r32 = lambda r: ip[:, r].astype(jnp.float32)  # noqa: E731
     aux = jnp.stack([
-        ip[:, pad - 1] * t0 + ip[:, pad] * t1 + ip[:, pad + 1] * t2,
-        (ip[:, pad + H - 2] * t0 + ip[:, pad + H - 1] * t1
-         + ip[:, pad + H] * t2)], axis=1)             # (B, 2, wp)
+        r32(pad - 1) * t0 + r32(pad) * t1 + r32(pad + 1) * t2,
+        (r32(pad + H - 2) * t0 + r32(pad + H - 1) * t1
+         + r32(pad + H) * t2)], axis=1)               # (B, 2, wp)
     return kernel(ip, aux)[:, :, :H, :W]

@@ -72,7 +72,8 @@ def _sharded_flow_fn(mesh: Mesh, h: int, w: int, config: FarnebackConfig):
         def per_shard(prev, nxt):
             flow, tiers = _flow_pyramid(prev.astype(jnp.float32),
                                         nxt.astype(jnp.float32), plan,
-                                        use_pallas=use_pallas)
+                                        use_pallas=use_pallas,
+                                        input_u8=prev.dtype == jnp.uint8)
             return jnp.moveaxis(flow, 1, -1), tiers[None]
 
         fn = jax.shard_map(
@@ -127,7 +128,8 @@ def _sharded_bgr_fn(mesh: Mesh, h: int, w: int, config: FarnebackConfig):
     def per_shard(prev, nxt):
         flow, tiers = _flow_pyramid(prev.astype(jnp.float32),
                                     nxt.astype(jnp.float32), plan,
-                                    use_pallas=use_pallas)
+                                    use_pallas=use_pallas,
+                                    input_u8=prev.dtype == jnp.uint8)
         if use_pallas and min(h, w) >= 32:
             from optical_flow_tpu.pallas.colorize import (
                 flow_to_bgr_planar_pallas)
@@ -189,7 +191,8 @@ def _sharded_bgr_chain_fn(mesh: Mesh, k: int, h: int, w: int,
     def per_shard(frames):             # (1, k+1, h, w) local shard
         flow, tiers = _flow_pyramid(frames[0].astype(jnp.float32), None,
                                     plan, use_pallas=use_pallas,
-                                    chain=True)
+                                    chain=True,
+                                    input_u8=frames.dtype == jnp.uint8)
         if use_pallas and min(h, w) >= 32:
             from optical_flow_tpu.pallas.colorize import (
                 flow_to_bgr_planar_pallas)
@@ -240,7 +243,8 @@ def _sharded_extract_fn(mesh: Mesh, h: int, w: int, config: FarnebackConfig):
         def per_shard(prev, nxt):
             flow, tiers = _flow_pyramid(prev.astype(jnp.float32),
                                         nxt.astype(jnp.float32), plan,
-                                        use_pallas=use_pallas)
+                                        use_pallas=use_pallas,
+                                        input_u8=prev.dtype == jnp.uint8)
             mag, _ = cart_to_polar(flow[:, 0], flow[:, 1])
             return jnp.sum(mag, axis=(-2, -1)), tiers[None]
 

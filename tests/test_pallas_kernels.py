@@ -249,6 +249,41 @@ class TestPolyExpPreSmooth:
             core.gaussian_blur_reflect101(img, taps), 5, 1.2))
         np.testing.assert_allclose(out, ref, atol=2e-2, rtol=1e-5)
 
+    @pytest.mark.parametrize("H,W", [(32, 256), (33, 257)])
+    def test_exact_u8_bf16_staging_is_bitwise_equal(self, H, W):
+        """exact_u8=True stages the pre-smooth window DMAs in bf16; for
+        u8-valued input (exactly representable in bf16) the output must be
+        BITWISE identical to the f32 staging."""
+        from optical_flow_tpu.models.farneback.params import gaussian_kernel
+        from optical_flow_tpu.pallas.polyexp import poly_exp_pallas
+        rng = np.random.default_rng(6)
+        img = jnp.asarray(
+            rng.integers(0, 256, (2, H, W)).astype(np.float32))
+        taps = tuple(gaussian_kernel(3, 0.0))
+        a = np.asarray(poly_exp_pallas(img, 5, 1.2, pre_taps=taps))
+        b = np.asarray(poly_exp_pallas(img, 5, 1.2, pre_taps=taps,
+                                       exact_u8=True))
+        np.testing.assert_array_equal(a, b)
+
+    def test_exact_u8_full_pyramid_is_bitwise_equal(self):
+        """input_u8 threads bf16 staging through the L0 pre-smooth AND the
+        gauss_resize levels; on u8 frames the flow must be bitwise equal
+        to the f32 staging."""
+        from optical_flow_tpu.models.farneback.flow import _flow_pyramid
+        from optical_flow_tpu.models.farneback.params import build_plan
+        from optical_flow_tpu.utils.config import FarnebackConfig
+        rng = np.random.default_rng(7)
+        prev = jnp.asarray(
+            rng.integers(0, 256, (2, 128, 256)).astype(np.float32))
+        nxt = jnp.asarray(
+            rng.integers(0, 256, (2, 128, 256)).astype(np.float32))
+        plan = build_plan(128, 256, FarnebackConfig())
+        a, _ = _flow_pyramid(prev, nxt, plan, use_pallas=True,
+                             input_u8=False)
+        b, _ = _flow_pyramid(prev, nxt, plan, use_pallas=True,
+                             input_u8=True)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 class TestGaussResizeKernel:
     @pytest.mark.parametrize("H,W,s,ks,sigma", [
