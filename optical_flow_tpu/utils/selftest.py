@@ -243,6 +243,39 @@ def _cases(quick: bool = False) -> List[Dict]:
     add("polyexp/pre_smooth_border_33x257", 2e-2, 1e-5,
         poly_pre_case(33, 257))
 
+    # bf16 input staging (exact_u8): must be BITWISE equal to the f32
+    # staging on u8-valued frames — atol=rtol=0
+    def poly_pre_bf16_case(H, W):
+        def run():
+            from optical_flow_tpu.pallas.polyexp import poly_exp_pallas
+            taps = tuple(gaussian_kernel(3, 0.0))
+            rng = np.random.default_rng(6)
+            img = jnp.asarray(
+                rng.integers(0, 256, (2, H, W)).astype(np.float32))
+            out = poly_exp_pallas(img, 5, 1.2, pre_taps=taps, exact_u8=True)
+            ref = poly_exp_pallas(img, 5, 1.2, pre_taps=taps)
+            return out, ref
+        return run
+
+    add("polyexp/pre_smooth_bf16_bitwise_33x257", 0.0, 0.0,
+        poly_pre_bf16_case(33, 257))
+
+    def gresize_bf16_case(H, W, s, ks, sigma):
+        def run():
+            from optical_flow_tpu.pallas.gauss_resize import (
+                gaussian_blur_resize_pallas)
+            taps = gaussian_kernel(ks, sigma)
+            rng = np.random.default_rng(7)
+            img = jnp.asarray(
+                rng.integers(0, 256, (2, H, W)).astype(np.float32))
+            out = gaussian_blur_resize_pallas(img, taps, s, exact_u8=True)
+            ref = gaussian_blur_resize_pallas(img, taps, s)
+            return out, ref
+        return run
+
+    add("gauss_resize/bf16_bitwise_128x256_s4", 0.0, 0.0,
+        gresize_bf16_case(128, 256, 4, 9, 1.5))
+
     return cases
 
 
