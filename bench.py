@@ -31,6 +31,48 @@ H, W = 1080, 1920
 WARMUP = 2
 
 
+def _backend_ready_with_retries(max_tries=4, base_sleep=25.0):
+    """First device touch, with bounded retries.
+
+    The axon TPU tunnel occasionally fails its initial handshake
+    ("Unable to initialize backend 'axon'" — round-3 BENCH rc=1).  JAX
+    caches the init failure in xla_bridge._backend_errors, so a bare
+    retry would re-raise instantly; _clear_backends() resets both caches
+    and makes the next jax.devices() re-attempt the handshake.  Retries
+    cover the raise mode only — a hung transport is bounded by the
+    caller's own timeout.
+    """
+    import time as _time
+
+    import jax
+    last = None
+    for attempt in range(max_tries):
+        try:
+            devs = jax.devices()
+            if devs and devs[0].platform == "cpu" and \
+                    "axon" in os.environ.get("JAX_PLATFORMS", "axon"):
+                # 'axon,cpu' silently fell back to CPU: a green-looking
+                # bench on the host CPU would be garbage — treat as a
+                # failed init and retry the TPU handshake instead
+                raise RuntimeError(
+                    "axon backend fell back to CPU; refusing to bench")
+            return devs
+        except Exception as e:  # transient transport/handshake failure
+            last = e
+            if attempt == max_tries - 1:
+                break
+            try:
+                import jax._src.xla_bridge as xb
+                xb._clear_backends()
+            except Exception:
+                pass
+            sleep = base_sleep * (attempt + 1)
+            print(f"# backend init failed ({e!r}); retry {attempt + 1}/"
+                  f"{max_tries - 1} in {sleep:.0f}s", flush=True)
+            _time.sleep(sleep)
+    raise last
+
+
 def _load_cache():
     if os.path.exists(CACHE):
         with open(CACHE) as f:
@@ -115,6 +157,7 @@ def main():
 
     cache = _load_cache()
     import jax
+    _backend_ready_with_retries()
 
     # --- headline: 1080p smooth texture, batch 16 ---
     f1, f2 = smooth_texture_pair(H, W, (2, 3))
@@ -264,6 +307,7 @@ def selftest():
     unit suite).  Prints one JSON object and exits nonzero on failure."""
     from optical_flow_tpu.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
+    _backend_ready_with_retries()
     from optical_flow_tpu.utils.selftest import run_selftest
     verdict = run_selftest()
     print(json.dumps(verdict))

@@ -59,7 +59,11 @@ struct Reader {
 // demuxer reports no duration) disagree by more than one timebase tick.
 // The final scanned packet is excluded: muxers routinely give the last
 // sample of a CFR stream a different stts duration.
-void scan_vfr(Reader* r, int max_pkts = 512) {
+// Returns 0 on success, <0 when the rewind to the stream head fails
+// (non-seekable/odd container) — the scan leaves the demuxer up to
+// max_pkts packets in, so a failed rewind MUST abort the open or the
+// first reads would silently return wrong frames.
+int scan_vfr(Reader* r, int max_pkts = 512) {
     AVPacket* pkt = av_packet_alloc();
     int64_t prev_dts = AV_NOPTS_VALUE;
     int64_t dur_min = INT64_MAX, dur_max = INT64_MIN;
@@ -83,11 +87,14 @@ void scan_vfr(Reader* r, int max_pkts = 512) {
     }
     av_packet_free(&pkt);
     if (dur_min != INT64_MAX && dur_max - dur_min > 1) r->is_vfr = 1;
-    // rewind to the stream head for normal decoding
+    // rewind to the stream head for normal decoding; flush only on success
     AVStream* st = r->fmt->streams[r->stream_idx];
     int64_t start = (st->start_time == AV_NOPTS_VALUE) ? 0 : st->start_time;
-    av_seek_frame(r->fmt, r->stream_idx, start, AVSEEK_FLAG_BACKWARD);
+    int ret = av_seek_frame(r->fmt, r->stream_idx, start,
+                            AVSEEK_FLAG_BACKWARD);
+    if (ret < 0) return ret;
     avcodec_flush_buffers(r->dec);
+    return 0;
 }
 
 int64_t index_to_pts(const Reader* r, int64_t index) {
@@ -133,6 +140,8 @@ int decode_next(Reader* r) {
 }  // namespace
 
 extern "C" {
+
+void ofio_close(void* h);
 
 void* ofio_open(const char* path) {
     av_log_set_level(AV_LOG_ERROR);
@@ -193,7 +202,12 @@ void* ofio_open(const char* path) {
             reinterpret_cast<const int32_t*>(sd));
         if (!std::isnan(rot)) r->rotation_deg = rot;
     }
-    scan_vfr(r);
+    if (scan_vfr(r) < 0) {
+        // demuxer left mid-stream and the head rewind failed: reads would
+        // silently start up to 512 packets in — refuse the open instead
+        ofio_close(r);
+        return nullptr;
+    }
     return r;
 }
 

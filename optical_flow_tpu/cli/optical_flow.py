@@ -19,7 +19,13 @@ from optical_flow_tpu.utils.config import ExtractorConfig
 
 
 def build_parser() -> argparse.ArgumentParser:
-    parser = argparse.ArgumentParser()
+    parser = argparse.ArgumentParser(
+        epilog="Variable-frame-rate inputs: fps-based frame indexing would "
+               "silently select wrong frames on VFR streams, so they are "
+               "skipped per-video with a logged warning (the run "
+               "continues).  Set OFIO_ALLOW_VFR=1 to force cv2-4.2-style "
+               "fps-based indexing instead.  OFT_DEBUG_NANS=1 enables "
+               "jax.debug_nans.")
     parser.add_argument("features_root",
                         help="the directory where the images are to be stored")
     parser.add_argument("videoids", nargs="*",
@@ -57,12 +63,19 @@ def build_parser() -> argparse.ArgumentParser:
                              "overlaps per-video decode/host work while "
                              "device dispatch serializes) — default 1 "
                              "matches the reference's sequential loop")
+    parser.add_argument("--validate", action="store_true",
+                        help="per video, compute one sampled frame pair "
+                             "with cv2.calcOpticalFlowFarneback (when cv2 "
+                             "is importable) and log the mean EPE vs the "
+                             "0.5-px gate")
     return parser
 
 
 def main(argv=None) -> None:
     from optical_flow_tpu.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
+    from optical_flow_tpu.utils.validate import maybe_enable_debug_nans
+    maybe_enable_debug_nans()
     args = build_parser().parse_args(argv)
     config = ExtractorConfig(
         frame_width=args.frame_width,
@@ -70,6 +83,7 @@ def main(argv=None) -> None:
         window_size=args.window_size,
         top_percentile=args.top_percentile,
         force_run=args.force_run,
+        validate=args.validate,
     )
     videoids = args.videoids
     # multi-host: when OFT_COORDINATOR_ADDRESS is set, each process takes

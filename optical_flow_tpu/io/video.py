@@ -24,6 +24,16 @@ from optical_flow_tpu.utils.logging import get_logger
 logger = get_logger("io.video")
 
 
+class VFRStreamError(IOError):
+    """Raised when a stream has variable frame rate and fps-based
+    frame-index seeks would silently select wrong frames.
+
+    Distinct from generic IOError so the corpus driver can treat one VFR
+    video as a logged per-video skip instead of aborting the whole run
+    (the pinned cv2 4.2 reference would process it — deterministically,
+    but fps-indexed; set OFIO_ALLOW_VFR=1 to reproduce that)."""
+
+
 class VideoReader:
     def __init__(self, path: str):
         self._lib = get_lib()
@@ -54,7 +64,7 @@ class VideoReader:
             # extractor — so fail loudly instead (round-2 VERDICT item 7).
             if self.is_vfr and os.environ.get("OFIO_ALLOW_VFR") != "1":
                 self.release()
-                raise IOError(
+                raise VFRStreamError(
                     f"'{path}': variable frame rate stream (non-constant "
                     "frame intervals in the stream head): frame-index "
                     "seeks are fps-based and would select wrong frames. "

@@ -21,12 +21,13 @@ on ~1e-4 of pixels; the golden tests gate that explicitly).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from optical_flow_tpu.ops.color import hsv2bgr_u8
 from optical_flow_tpu.ops.polar import fast_atan2_deg, normalize_minmax_u8_value
 
-_RAD_PER_DEG = jnp.float32(3.141592653589793 / 180.0)
-_DEG_PER_RAD = jnp.float32(180.0 / 3.141592653589793)
+_RAD_PER_DEG = np.float32(3.141592653589793 / 180.0)
+_DEG_PER_RAD = np.float32(180.0 / 3.141592653589793)
 
 
 def flow_to_bgr_u8(flow):

@@ -16,14 +16,15 @@ Calibration notes (empirical, local cv2):
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 # fastAtan2 polynomial constants (degrees).
-_P1 = jnp.float32(0.9997878412794807 * (180.0 / 3.141592653589793))
-_P3 = jnp.float32(-0.3258083974640975 * (180.0 / 3.141592653589793))
-_P5 = jnp.float32(0.1555786518463281 * (180.0 / 3.141592653589793))
-_P7 = jnp.float32(-0.04432655554792128 * (180.0 / 3.141592653589793))
-_DBL_EPS = jnp.float32(2.220446049250313e-16)
-_DEG2RAD = jnp.float32(3.141592653589793 / 180.0)
+_P1 = np.float32(0.9997878412794807 * (180.0 / 3.141592653589793))
+_P3 = np.float32(-0.3258083974640975 * (180.0 / 3.141592653589793))
+_P5 = np.float32(0.1555786518463281 * (180.0 / 3.141592653589793))
+_P7 = np.float32(-0.04432655554792128 * (180.0 / 3.141592653589793))
+_DBL_EPS = np.float32(2.220446049250313e-16)
+_DEG2RAD = np.float32(3.141592653589793 / 180.0)
 
 
 def fast_atan2_deg(y, x):

@@ -70,8 +70,12 @@ COL_OFF = 8
 TIER_COUNTS = {"tier2": 0, "tier3": 0}
 
 # pending per-call (2,) int32 device vectors; bounded so a metrics-blind
-# long run cannot accumulate host-side references without limit
-_PENDING_TIERS: deque = deque(maxlen=4096)
+# long run cannot accumulate host-side references without limit.  On
+# overflow the OLDEST entry is folded into TIER_COUNTS (it is thousands of
+# dispatches old, so the forced read cannot stall the pipeline) — counts
+# stay exact instead of silently undercounting (round-3 advisor).
+_PENDING_TIERS: deque = deque()
+_PENDING_MAX = 4096
 
 
 def reset_tier_counts() -> None:
@@ -97,24 +101,29 @@ def note_tier_stats(tiers) -> None:
     import jax.core as _core
     if isinstance(tiers, _core.Tracer):
         return
+    if len(_PENDING_TIERS) >= _PENDING_MAX:
+        _fold_one(_PENDING_TIERS.popleft())
     _PENDING_TIERS.append(tiers)
+
+
+def _fold_one(t) -> None:
+    if getattr(t, "is_fully_addressable", True):
+        v = np.asarray(t).reshape(-1, 2).sum(axis=0)
+    else:
+        # multi-host sharded step: a global array spans devices this
+        # process cannot read — fold in OUR shards only (per-process
+        # counts; each host observes its own work)
+        v = np.sum([np.asarray(s.data).reshape(-1, 2).sum(axis=0)
+                    for s in t.addressable_shards], axis=0)
+    TIER_COUNTS["tier2"] += int(v[0])
+    TIER_COUNTS["tier3"] += int(v[1])
 
 
 def consume_tier_stats() -> dict:
     """Fold every pending device vector into TIER_COUNTS (forces the
     pending results) and return a copy of the totals."""
     while _PENDING_TIERS:
-        t = _PENDING_TIERS.popleft()
-        if getattr(t, "is_fully_addressable", True):
-            v = np.asarray(t).reshape(-1, 2).sum(axis=0)
-        else:
-            # multi-host sharded step: a global array spans devices this
-            # process cannot read — fold in OUR shards only (per-process
-            # counts; each host observes its own work)
-            v = np.sum([np.asarray(s.data).reshape(-1, 2).sum(axis=0)
-                        for s in t.addressable_shards], axis=0)
-        TIER_COUNTS["tier2"] += int(v[0])
-        TIER_COUNTS["tier3"] += int(v[1])
+        _fold_one(_PENDING_TIERS.popleft())
     return dict(TIER_COUNTS)
 
 

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from optical_flow_tpu.io.sidecar import DoneSentinel, write_mag_to_csv
-from optical_flow_tpu.io.video import VideoReader
+from optical_flow_tpu.io.video import VFRStreamError, VideoReader
 from optical_flow_tpu.pipeline.prefetch import DecodePrefetcher, pair_chunk_for
 from optical_flow_tpu.models.farneback import calc_flow_batched
 from optical_flow_tpu.ops.host import bgr2gray_host, resize_gray_host
@@ -160,8 +160,12 @@ def extract_video(v_path: str, config: ExtractorConfig
     chunk_size = pair_chunk_for(max(fh, 1), max(fw, 1))
 
     pending_sums = []
+    validate_sample = []      # first flushed pair, host copies (--validate)
 
     def flush(chunk):
+        if config.validate and not validate_sample:
+            validate_sample.append((np.asarray(frames[chunk[0][0]]),
+                                    np.asarray(frames[chunk[0][1]])))
         with metrics.stage("flow"):
             prev = jnp.stack([frames[w[0]] for w in chunk])
             nxt = jnp.stack([frames[w[1]] for w in chunk])
@@ -220,6 +224,12 @@ def extract_video(v_path: str, config: ExtractorConfig
 
     start_ms = int(agg[0][0] / fps * 1000)
     end_ms = int(agg[-1][0] / fps * 1000)
+    if validate_sample:
+        from optical_flow_tpu.utils.validate import log_validation, sampled_epe
+        epe = sampled_epe(*validate_sample[0], config.farneback)
+        log_validation(epe, f"extract:{os.path.basename(v_path)}")
+        if epe is not None:
+            metrics.counters["validate_mean_epe"] = epe
     metrics.counters["peak_live_frames"] = peak_live
     LAST_RUN_COUNTERS.clear()
     LAST_RUN_COUNTERS.update(metrics.counters)
@@ -268,7 +278,14 @@ def run_corpus(features_root: str, videoids: Sequence[str],
     aborting the whole corpus run — required for sharded/elastic corpus
     jobs (SURVEY.md section 5, failure detection); the default matches
     the reference (first failure raises).  Returns the list of failed
-    videoids (empty unless robust).
+    videoids.
+
+    Exception to fail-fast: a VFRStreamError (variable-frame-rate input,
+    io/video.py) is ALWAYS a logged per-video skip, robust or not — the
+    reference would complete such a corpus (cv2 4.2 processes VFR with
+    fps-based indexing), so aborting the run on one VFR file would be a
+    new failure mode, while processing it would be silently wrong output.
+    Set OFIO_ALLOW_VFR=1 to force cv2-style fps-based indexing instead.
 
     video_workers > 1 overlaps whole videos in threads.  Measured on a
     local-disk corpus this is NEUTRAL (0.9-1.0x): the per-video
@@ -286,7 +303,7 @@ def run_corpus(features_root: str, videoids: Sequence[str],
             try:
                 _process_one(features_root, videoid, config)
             except Exception as e:
-                if not robust:
+                if not robust and not isinstance(e, VFRStreamError):
                     raise
                 failures.append(videoid)
                 logger.warning(
@@ -307,7 +324,7 @@ def run_corpus(features_root: str, videoids: Sequence[str],
             try:
                 fut.result()
             except Exception as e:
-                if robust:
+                if robust or isinstance(e, VFRStreamError):
                     failures.append(videoid)
                     logger.warning(
                         "skipping %s after failure: %s: %s",

@@ -88,6 +88,7 @@ def visualize_shot(v_path: str, images_path: str, start_ms: int, end_ms: int,
     gray = []           # device gray frames (freed once consumed)
     written = 0
     pend = []           # pair indices awaiting dispatch
+    validate_sample = []   # first gray pair, host copies (--validate)
 
     inflight = []          # (pend, device flow image) awaiting download
 
@@ -150,6 +151,8 @@ def visualize_shot(v_path: str, images_path: str, start_ms: int, end_ms: int,
             frame, gray_np = item
             stamps.append(pos)
             i = len(gray)
+            if config.validate and i < 2:
+                validate_sample.append(np.asarray(gray_np))
             gray.append(jnp.asarray(gray_np))   # async gray upload
             if i >= 1:
                 # source image written on arrival (bounded host memory at 4K)
@@ -168,5 +171,12 @@ def visualize_shot(v_path: str, images_path: str, start_ms: int, end_ms: int,
         for f in encodes:
             f.result()                  # surface encode errors
         pool.shutdown()
+    if len(validate_sample) == 2:
+        from optical_flow_tpu.utils.validate import log_validation, sampled_epe
+        epe = sampled_epe(validate_sample[0], validate_sample[1],
+                          config.farneback)
+        log_validation(epe, f"visualize:{os.path.basename(v_path)}")
+        if epe is not None:
+            metrics.counters["validate_mean_epe"] = epe
     metrics.log_summary()
     return written

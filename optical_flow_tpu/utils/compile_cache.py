@@ -34,4 +34,24 @@ def enable_persistent_cache() -> str | None:
     # cache every compile that takes noticeable time (default threshold
     # is 1s; the big Mosaic kernels take 10s+, tiny glue is free anyway)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _honor_jax_platforms_env()
     return cache_dir
+
+
+def _honor_jax_platforms_env() -> None:
+    """Restore standard JAX_PLATFORMS env semantics for the CLIs.
+
+    The axon sitecustomize calls jax.config.update('jax_platforms',
+    'axon,cpu') at interpreter startup, silently overriding JAX_PLATFORMS
+    from the environment — so `JAX_PLATFORMS=cpu <cli>` would still dial
+    the TPU transport first (and HANG when it is wedged, the round-3
+    failure hour).  If the env var is set, it wins — matching what every
+    JAX user expects — provided no backend has been initialized yet.
+    """
+    want = os.environ.get("JAX_PLATFORMS")
+    if not want:
+        return
+    import jax
+    import jax._src.xla_bridge as xb
+    if jax.config.jax_platforms != want and not xb.backends_are_initialized():
+        jax.config.update("jax_platforms", want)

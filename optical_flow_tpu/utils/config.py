@@ -75,6 +75,9 @@ class ExtractorConfig:
     window_size: int = 300        # milliseconds
     top_percentile: int = 5
     force_run: str = "False"
+    # --validate: per-video sampled EPE-vs-cv2 logging (utils/validate.py);
+    # additive, absent from the reference CLI (SURVEY.md section 5)
+    validate: bool = False
     farneback: FarnebackConfig = dataclasses.field(default_factory=FarnebackConfig)
 
     @property
@@ -95,4 +98,5 @@ class VisualizerConfig:
 
     step_size: int = 300          # milliseconds, module constant STEP_SIZE
     jpeg_quality: int = 95        # cv2.imwrite default (verified empirically)
+    validate: bool = False        # sampled EPE-vs-cv2 (utils/validate.py)
     farneback: FarnebackConfig = dataclasses.field(default_factory=FarnebackConfig)

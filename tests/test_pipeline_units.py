@@ -95,6 +95,110 @@ class TestRobustCorpus:
             run_corpus(root, ["badvid"], ExtractorConfig())
 
 
+class TestVFRCorpus:
+    def test_vfr_video_skipped_not_fatal(self, tmp_path):
+        """One VFR video must not abort a non-robust corpus run: the
+        reference (cv2 4.2, fps-indexed) completes such corpora, and our
+        loud VFR failure would otherwise turn into a new corpus-level
+        failure mode (round-3 advisor).  It is skipped + reported."""
+        from optical_flow_tpu.oracle.mp4edit import patch_vfr
+        from optical_flow_tpu.pipeline.extractor import run_corpus
+
+        root = str(tmp_path)
+        os.makedirs(os.path.join(root, "goodvid", "media"))
+        write_synthetic_video(
+            os.path.join(root, "goodvid", "media", "goodvid.mp4"),
+            n_frames=30, h=120, w=160)
+        os.makedirs(os.path.join(root, "vfrvid", "media"))
+        base = str(tmp_path / "base.mp4")
+        write_synthetic_video(base, n_frames=30, h=120, w=160)
+        patch_vfr(base, os.path.join(root, "vfrvid", "media", "vfrvid.mp4"))
+
+        failures = run_corpus(root, ["vfrvid", "goodvid"],
+                              ExtractorConfig())          # robust=False
+        assert failures == ["vfrvid"]
+        assert os.path.isfile(
+            os.path.join(root, "goodvid", "opticalflow", "goodvid.csv"))
+        assert not os.path.isfile(
+            os.path.join(root, "vfrvid", "opticalflow", "vfrvid.csv"))
+
+
+class TestValidateMode:
+    def test_extractor_validate_logs_epe(self, tmp_path):
+        """--validate computes one sampled pair against the cv2 oracle and
+        records the EPE (SURVEY.md section 5 metrics row; VERDICT r3 #7)."""
+        from optical_flow_tpu.pipeline import extractor
+
+        path = str(tmp_path / "clip.mp4")
+        write_synthetic_video(path, n_frames=30, h=96, w=128, fps=25.0)
+        cfg = ExtractorConfig(frame_width=0, validate=True)
+        extractor.extract_video(path, cfg)
+        epe = extractor.LAST_RUN_COUNTERS.get("validate_mean_epe")
+        assert epe is not None and epe <= 0.5
+
+    def test_visualizer_validate_logs_epe(self, tmp_path):
+        from optical_flow_tpu.pipeline.visualizer import visualize_shot
+        from optical_flow_tpu.utils.config import VisualizerConfig
+
+        path = str(tmp_path / "clip.mp4")
+        write_synthetic_video(path, n_frames=40, h=96, w=128, fps=25.0)
+        n = visualize_shot(path, str(tmp_path / "imgs"), 200, 1400,
+                           config=VisualizerConfig(validate=True))
+        assert n > 0    # EPE warn-gates, never fails the run
+
+    def test_debug_nans_toggle(self, monkeypatch):
+        """OFT_DEBUG_NANS=1 arms jax.debug_nans (the SURVEY section 5
+        sanitizer); a clean flow pass must still run under it."""
+        import jax
+        from optical_flow_tpu.utils.validate import maybe_enable_debug_nans
+
+        assert maybe_enable_debug_nans() is False
+        monkeypatch.setenv("OFT_DEBUG_NANS", "1")
+        assert maybe_enable_debug_nans() is True
+        try:
+            from optical_flow_tpu.utils.warmup import warmup_flow
+            warmup_flow(48, 64, batch=2)      # runs clean under debug_nans
+        finally:
+            jax.config.update("jax_debug_nans", False)
+
+
+class TestImportHygiene:
+    def test_package_import_initializes_no_backend(self):
+        """Importing the package (incl. both CLI modules) must not
+        initialize any JAX backend: on the axon TPU tunnel an import-time
+        backend dial can hang for minutes when the transport is wedged,
+        before the CLI's JAX_PLATFORMS handling ever runs (this exact bug
+        hid in a module-level jnp.float32 constant in ops/polar.py)."""
+        import subprocess
+        import sys
+        code = (
+            "import optical_flow_tpu.cli.optical_flow, "
+            "optical_flow_tpu.cli.visualize_optical_flow, "
+            "optical_flow_tpu.pipeline.visualizer\n"
+            "import jax._src.xla_bridge as xb\n"
+            "assert not xb.backends_are_initialized(), 'backend initialized'\n")
+        res = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, timeout=120)
+        assert res.returncode == 0, res.stderr
+
+
+class TestTierCounterBounds:
+    def test_overflow_folds_instead_of_dropping(self, monkeypatch):
+        """When no consumer drains the pending tier vectors, overflow must
+        fold the oldest into TIER_COUNTS, keeping totals exact (round-3
+        advisor)."""
+        from optical_flow_tpu.pallas import update_gather as ug
+
+        monkeypatch.setattr(ug, "_PENDING_MAX", 4)
+        ug.reset_tier_counts()
+        for _ in range(10):
+            ug.note_tier_stats(np.array([1, 0], np.int32))
+        assert len(ug._PENDING_TIERS) == 4     # bounded
+        counts = ug.consume_tier_stats()
+        assert counts["tier2"] == 10 and counts["tier3"] == 0
+        ug.reset_tier_counts()
+
+
 class TestMetrics:
     def test_stage_accumulation(self):
         m = PipelineMetrics("t")
