@@ -290,6 +290,29 @@ def main():
     except Exception as e:  # pragma: no cover - report, don't hide
         extra["uhd_4k"] = {"error": repr(e)}
 
+    # --- hard config 3: 8K, batch 1 (column-chunked update kernel;
+    # VERDICT r3 #3 — the visualizer runs at native resolution, so 8K
+    # video is a legitimate input).  Runs LAST: the axon remote-compile
+    # helper has 500'd on 8K programs before, and a wedged helper must
+    # not cost the rows above; the error lands in-row either way. ---
+    if os.environ.get("OFT_BENCH_SKIP_8K") != "1":
+        try:
+            e1, e2 = smooth_texture_pair(4320, 7680, (3, 5))
+            uhd8_base = measure_cv2_baseline("8k_smooth", e1, e2, cache)
+            uhd8_pps, _dt8, uhd8_out = measure_config(e1, e2, batch=1,
+                                                      iters=3, pipeline=2)
+            extra["uhd_8k"] = {
+                "pairs_per_s": round(uhd8_pps, 2),
+                "batch": 1,
+                "vs_baseline": round(
+                    uhd8_pps / uhd8_base["cv2_single_thread_pairs_per_s"],
+                    1),
+                "mean_epe_vs_cv2": round(epe_vs_cv2(e1, e2, uhd8_out[0]),
+                                         4),
+            }
+        except Exception as e:  # pragma: no cover - report, don't hide
+            extra["uhd_8k"] = {"error": repr(e)}
+
     result = {
         "metric": "frame-pairs/sec at 1080p Farneback (batched, 1 chip)",
         "value": round(pairs_per_s, 1),

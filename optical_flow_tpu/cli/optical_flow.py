@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "with cv2.calcOpticalFlowFarneback (when cv2 "
                              "is importable) and log the mean EPE vs the "
                              "0.5-px gate")
+    parser.add_argument("--resume", action="store_true",
+                        help="shot-granular intra-video checkpointing: a "
+                             "killed run resumes from its <videoid>"
+                             ".progress high-water mark instead of "
+                             "redoing the whole video")
     return parser
 
 
@@ -84,6 +89,7 @@ def main(argv=None) -> None:
         top_percentile=args.top_percentile,
         force_run=args.force_run,
         validate=args.validate,
+        resume=args.resume,
     )
     videoids = args.videoids
     # multi-host: when OFT_COORDINATOR_ADDRESS is set, each process takes

@@ -45,7 +45,7 @@ def _pick_update_fn_stats(h: int, w: int):
     if _on_tpu() and min(h, w) >= 64:
         from optical_flow_tpu.pallas.update_gather import (
             supported_shape, update_matrices_pallas_batched_stats)
-        if supported_shape(h, w):
+        if supported_shape(h, w, chunked=True):
             return update_matrices_pallas_batched_stats
     return None
 

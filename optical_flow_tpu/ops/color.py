@@ -26,6 +26,24 @@ import numpy as np
 _B2Y, _G2Y, _R2Y = 3735, 19235, 9798
 _GRAY_SHIFT = 15
 
+# cv2 4.2 variant: yuv_shift=14 with {B2Y,G2Y,R2Y}={1868,9617,4899}
+# (OpenCV modules/imgproc/src/color.hpp, constant since the 2.x era; the
+# 15-bit set above is the newer scheme the installed 5.0 oracle uses).
+# Differences are <=1 gray level.  Selected by OFT_CV42_GRAY=1 for runs
+# that must match the reference's pinned opencv-python==4.2.0.32 —
+# docs/PARITY_42.md has the per-op 4.2 story.
+_B2Y_42, _G2Y_42, _R2Y_42 = 1868, 9617, 4899
+_GRAY_SHIFT_42 = 14
+
+
+def gray_coeffs():
+    """(b2y, g2y, r2y, shift) for the selected BGR2GRAY fixed-point mode
+    (env OFT_CV42_GRAY=1 -> the pinned cv2 4.2 constants)."""
+    import os
+    if os.environ.get("OFT_CV42_GRAY") == "1":
+        return _B2Y_42, _G2Y_42, _R2Y_42, _GRAY_SHIFT_42
+    return _B2Y, _G2Y, _R2Y, _GRAY_SHIFT
+
 # HSV sector -> (b, g, r) selection from tab[0..3], OpenCV sector_data.
 _SECTOR_DATA = np.array(
     [[1, 3, 0], [1, 0, 2], [3, 0, 1], [0, 2, 1], [0, 1, 3], [2, 1, 0]],
@@ -38,10 +56,11 @@ def bgr2gray_u8(bgr):
 
     Reference behavior: `optical_flow.py:44` (COLOR_BGR2GRAY).
     """
+    b2y, g2y, r2y, shift = gray_coeffs()
     b = bgr[..., 0].astype(jnp.int32)
     g = bgr[..., 1].astype(jnp.int32)
     r = bgr[..., 2].astype(jnp.int32)
-    y = (b * _B2Y + g * _G2Y + r * _R2Y + (1 << (_GRAY_SHIFT - 1))) >> _GRAY_SHIFT
+    y = (b * b2y + g * g2y + r * r2y + (1 << (shift - 1))) >> shift
     return y.astype(jnp.uint8)
 
 

@@ -15,18 +15,19 @@ from __future__ import annotations
 
 import numpy as np
 
-from optical_flow_tpu.ops.color import _B2Y, _G2Y, _GRAY_SHIFT, _R2Y
+from optical_flow_tpu.ops.color import gray_coeffs
 from optical_flow_tpu.ops.resize import _coeffs_u8, aspect_preserving_size
 
 
 def bgr2gray_host(bgr: np.ndarray) -> np.ndarray:
-    """uint8 BGR (..., 3) -> uint8 gray (...); same 15-bit fixed point as
-    `bgr2gray_u8` (reference behavior: `optical_flow.py:44`)."""
+    """uint8 BGR (..., 3) -> uint8 gray (...); same fixed point as
+    `bgr2gray_u8` (reference behavior: `optical_flow.py:44`; OFT_CV42_GRAY
+    selects the pinned cv2-4.2 constants, ops/color.py)."""
+    b2y, g2y, r2y, shift = gray_coeffs()
     b = bgr[..., 0].astype(np.int32)
     g = bgr[..., 1].astype(np.int32)
     r = bgr[..., 2].astype(np.int32)
-    y = (b * _B2Y + g * _G2Y + r * _R2Y + (1 << (_GRAY_SHIFT - 1))) \
-        >> _GRAY_SHIFT
+    y = (b * b2y + g * g2y + r * r2y + (1 << (shift - 1))) >> shift
     return y.astype(np.uint8)
 
 

@@ -452,6 +452,289 @@ def _build(batch: int, h: int, w: int, h_real: int, w_real: int,
     return kernel
 
 
+def _update_kernel_chunked(ay_ref, ax_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
+                           m_ref, viol_ref, win, win2, fbuf, sem, sem2, *,
+                           h_real: int, w_real: int, n_bands: int, n_x: int,
+                           cw: int, xwin: int, n_slots: int):
+    """Column-chunked twin of _update_kernel for wide frames (> MAX_WP).
+
+    Grid: (B * H/8 * n_x,) — each step one (8, cw) block.  The R1 window
+    is anchored in BOTH axes ((5, WIN_H, xwin) at the block's min fetched
+    row and min fetched lane-tile, both precomputed and scalar-prefetched),
+    so VMEM and Mosaic program size are O(cw), independent of W — the two
+    quantities that made the full-width kernel top out at ~4K widths.
+    Source pixels outside the x-window spill exactly like out-of-row-window
+    ones: in-kernel second-chance pass (re-anchored in both axes), then
+    the bounded XLA correction — the three-tier exactness contract is
+    unchanged.  Kept separate from _update_kernel so the tuned <=4K path
+    stays byte-for-byte and instruction-for-instruction identical.
+    Store-layout offsets are unsupported here (the fused loop keeps the
+    full-width limit).
+    """
+    gi = pl.program_id(0)
+    n_total = pl.num_programs(0)
+    jx = gi % n_x
+    Hp = r1_hbm.shape[2]
+    n_sub_tot = r1_hbm.shape[3] // TILE_W
+    wl_tot = r1_hbm.shape[3]
+    H, W = h_real, w_real
+    tile_h = TILE_H
+    xt_tiles = xwin // TILE_W
+
+    def dma(slot, step):
+        return pltpu.make_async_copy(
+            r1_hbm.at[step // (n_bands * n_x), :,
+                      pl.ds(pl.multiple_of(ay_ref[step], 8), WIN_H),
+                      pl.ds(pl.multiple_of(ax_ref[step], TILE_W), xwin)],
+            win.at[slot], sem.at[slot])
+
+    slot = jax.lax.rem(gi, n_slots)
+    nslot = jax.lax.rem(gi + 1, n_slots)
+
+    @pl.when(gi == 0)
+    def _():
+        dma(slot, gi).start()
+
+    @pl.when(gi + 1 < n_total)
+    def _():
+        dma(nslot, gi + 1).start()
+
+    dx = flow_ref[0, 0]
+    dy = flow_ref[0, 1]
+    x0 = jx * cw
+    ys = (((gi // n_x) % n_bands) * tile_h
+          + jax.lax.broadcasted_iota(jnp.int32, (tile_h, cw), 0)
+          ).astype(jnp.float32)
+    xs = (x0 + jax.lax.broadcasted_iota(jnp.int32, (tile_h, cw), 1)
+          ).astype(jnp.float32)
+    x1 = jnp.round(xs + dx)
+    y1 = jnp.round(ys + dy)
+    inside = ((x1 >= 0) & (x1 <= W - 1) & (y1 >= 0) & (y1 <= H - 1)
+              & (xs <= W - 1) & (ys <= H - 1))
+    xi = jnp.clip(x1, 0, W - 1).astype(jnp.int32)
+    yi = jnp.clip(y1, 0, H - 1).astype(jnp.int32)
+
+    row_in_band = jax.lax.broadcasted_iota(jnp.int32, (tile_h, cw), 0)
+    xt = xi // TILE_W               # global lane-tile of the source
+    lane = xi % TILE_W
+
+    def fetch_pass(load, sy, axt, active, gated=False, vmax=V_MAX,
+                   sub_scalars=None):
+        """Candidate-block pass; same shape as _update_kernel.fetch_pass
+        plus the x-window containment (xt within [axt, axt + xt_tiles))."""
+        lr = yi - sy
+        in_w = (lr >= 0) & (lr < WIN_H) & (xt >= axt) \
+            & (xt < axt + xt_tiles)
+        act = active & in_w
+        rel = lr - row_in_band
+        covered_cols = []
+        for j in range(cw // TILE_W):
+            sl = slice(j * TILE_W, (j + 1) * TILE_W)
+            aj = act[:, sl]
+            relj = rel[:, sl]
+            xtj = xt[:, sl]
+            lnj = lane[:, sl]
+            if sub_scalars is not None:
+                v_lo, t_lo = sub_scalars[j]
+            else:
+                v_lo = jnp.min(jnp.where(aj, relj, WIN_H))
+                t_lo = jnp.min(jnp.where(aj, xtj, axt + xt_tiles - 1))
+            cov = (aj & (relj < v_lo + vmax) & (xtj < t_lo + T_MAX))
+            covered_cols.append(cov)
+
+            def subtile_work(v_lo=v_lo, t_lo=t_lo, cov=cov, relj=relj,
+                             xtj=xtj, lnj=lnj, sl=sl, seed_fbuf=gated):
+                if seed_fbuf:
+                    acc = tuple(fbuf[c, :, sl] for c in range(5))
+                else:
+                    acc = tuple(jnp.zeros((tile_h, TILE_W), jnp.float32)
+                                for _ in range(5))
+
+                def kv_body(kv, acc):
+                    vv = v_lo + kv
+                    v8 = pl.multiple_of(
+                        jnp.clip((vv // 8) * 8, 0, WIN_H - 16), 8)
+                    sh = vv - v8
+                    for kt in range(T_MAX):
+                        t = jnp.clip(t_lo + kt, axt, axt + xt_tiles - 1)
+                        sel = cov & (relj == v_lo + kv) & (xtj == t)
+                        off = pl.multiple_of((t - axt) * TILE_W, TILE_W)
+                        new = []
+                        for c in range(5):
+                            blk16 = load(c, v8, off)
+                            diag = pltpu.roll(blk16, -sh, 0)[:tile_h]
+                            vals = jnp.take_along_axis(diag, lnj, axis=1)
+                            new.append(jnp.where(sel, vals, acc[c]))
+                        acc = tuple(new)
+                    return acc
+
+                if gated:
+                    acc = jax.lax.fori_loop(0, vmax, kv_body, acc)
+                else:
+                    for kv in range(vmax):
+                        acc = kv_body(kv, acc)
+                for c in range(5):
+                    fbuf[c, :, sl] = acc[c]
+
+            if gated:
+                pl.when(jnp.any(aj))(subtile_work)
+            else:
+                subtile_work()
+        return jnp.concatenate(covered_cols, axis=-1)
+
+    def load_win1(c, v8, off):
+        return win[slot, c, pl.ds(v8, 16), pl.ds(off, TILE_W)]
+
+    ay1 = ay_ref[gi]
+    ax1 = ax_ref[gi] // TILE_W       # window origin tile (pass 1)
+
+    def full_passes(sub_scalars=None):
+        covered1 = fetch_pass(load_win1, ay1, ax1, inside,
+                              sub_scalars=sub_scalars)
+        spill = inside & jnp.logical_not(covered1)
+
+        @pl.when(jnp.any(spill))
+        def _():
+            sy2 = pl.multiple_of(jnp.clip(
+                (jnp.min(jnp.where(spill, yi, Hp - 1)) // 8) * 8,
+                0, Hp - WIN_H), 8)
+            sx2 = pl.multiple_of(jnp.clip(
+                jnp.min(jnp.where(spill, xt, n_sub_tot - 1)) * TILE_W,
+                0, wl_tot - xwin), TILE_W)
+            cp2 = pltpu.make_async_copy(
+                r1_hbm.at[gi // (n_bands * n_x), :, pl.ds(sy2, WIN_H),
+                          pl.ds(sx2, xwin)], win2, sem2)
+            cp2.start()
+            cp2.wait()
+            covered2 = fetch_pass(
+                lambda c, v8, off: win2[c, pl.ds(v8, 16),
+                                        pl.ds(off, TILE_W)],
+                sy2, sx2 // TILE_W, spill, gated=True, vmax=V2_MAX)
+            viol_ref[0, 0] = (spill & jnp.logical_not(covered2)
+                              ).astype(jnp.float32)
+
+        @pl.when(jnp.logical_not(jnp.any(spill)))
+        def _():
+            viol_ref[0, 0] = jnp.zeros((tile_h, cw), jnp.float32)
+
+    # band-uniformity pre-sweep (see _update_kernel): one branch per block
+    lr1 = yi - ay1
+    in_w1 = ((lr1 >= 0) & (lr1 < WIN_H) & (xt >= ax1)
+             & (xt < ax1 + xt_tiles))
+    act1 = inside & in_w1
+    rel1 = lr1 - row_in_band
+    scalars1 = []
+    uniform = jnp.all(in_w1 | jnp.logical_not(inside))
+    for j in range(cw // TILE_W):
+        sl = slice(j * TILE_W, (j + 1) * TILE_W)
+        aj = act1[:, sl]
+        relj = rel1[:, sl]
+        xtj = xt[:, sl]
+        v_lo = jnp.min(jnp.where(aj, relj, WIN_H))
+        v_hi = jnp.max(jnp.where(aj, relj, -1))
+        t_lo = jnp.min(jnp.where(aj, xtj, ax1 + xt_tiles - 1))
+        t_hi = jnp.max(jnp.where(aj, xtj, 0))
+        scalars1.append((v_lo, t_lo))
+        uniform = uniform & (v_hi <= v_lo) & (t_hi < t_lo + T_MAX)
+
+    dma(slot, gi).wait()
+
+    @pl.when(uniform)
+    def _():
+        fetch_pass(load_win1, ay1, ax1, inside, vmax=1,
+                   sub_scalars=scalars1)
+        viol_ref[0, 0] = jnp.zeros((tile_h, cw), jnp.float32)
+
+    @pl.when(jnp.logical_not(uniform))
+    def _():
+        full_passes(sub_scalars=scalars1)
+
+    fetched = jnp.stack([fbuf[c] for c in range(5)])
+
+    r0 = r0_ref[0]
+    f0 = fetched[0]
+    f1 = fetched[1]
+    r4 = jnp.where(inside, (r0[2] + fetched[2]) * 0.5, r0[2])
+    r5 = jnp.where(inside, (r0[3] + fetched[3]) * 0.5, r0[3])
+    r6 = jnp.where(inside, (r0[4] + fetched[4]) * 0.25, r0[4] * 0.5)
+    r2 = (r0[0] - jnp.where(inside, f0, 0.0)) * 0.5 + (r4 * dy + r6 * dx)
+    r3 = (r0[1] - jnp.where(inside, f1, 0.0)) * 0.5 + (r6 * dy + r5 * dx)
+
+    sc = sc_ref[:]
+    r2 = r2 * sc
+    r3 = r3 * sc
+    r4 = r4 * sc
+    r5 = r5 * sc
+    r6 = r6 * sc
+
+    m_ref[0, 0] = r4 * r4 + r6 * r6
+    m_ref[0, 1] = (r4 + r5) * r6
+    m_ref[0, 2] = r5 * r5 + r6 * r6
+    m_ref[0, 3] = r4 * r2 + r6 * r3
+    m_ref[0, 4] = r6 * r2 + r5 * r3
+
+
+def _chunk_geometry(wp: int):
+    """(n_x, cw, xwin) for the column-chunked kernel: n_x chunks of cw
+    lanes (cw a 128-multiple, wp padded to n_x * cw by the caller) with an
+    (cw + XWIN_EXTRA_TILES*128)-lane x-anchored window."""
+    n_x = max(1, -(-wp // XCHUNK_TARGET))
+    cw = _ceil(-(-wp // n_x), TILE_W)
+    xwin = cw + XWIN_EXTRA_TILES * TILE_W
+    return n_x, cw, xwin
+
+
+@functools.lru_cache(maxsize=32)
+def _build_chunked(batch: int, h: int, wp2: int, h_real: int, w_real: int,
+                   n_x: int, cw: int, xwin: int):
+    n_bands = h // TILE_H
+
+    def bmap(gi, _ay, _ax):
+        return (gi // (n_bands * n_x), 0, (gi // n_x) % n_bands, gi % n_x)
+
+    def scmap(gi, _ay, _ax):
+        return ((gi // n_x) % n_bands, gi % n_x)
+
+    n_slots = 2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(batch * n_bands * n_x,),
+        in_specs=[
+            pl.BlockSpec((1, 5, TILE_H, cw), bmap,
+                         memory_space=pltpu.VMEM),          # R0 block
+            pl.BlockSpec((1, 2, TILE_H, cw), bmap,
+                         memory_space=pltpu.VMEM),          # flow block
+            pl.BlockSpec((TILE_H, cw), scmap,
+                         memory_space=pltpu.VMEM),          # border scale
+            pl.BlockSpec(memory_space=pltpu.ANY),           # R1 full (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 5, TILE_H, cw), bmap,
+                         memory_space=pltpu.VMEM),          # M block
+            pl.BlockSpec((1, 1, TILE_H, cw), bmap,
+                         memory_space=pltpu.VMEM),          # violation mask
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_slots, 5, WIN_H, xwin), jnp.float32),
+            pltpu.VMEM((5, WIN_H, xwin), jnp.float32),
+            pltpu.VMEM((5, TILE_H, cw), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_slots,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = pl.pallas_call(
+        functools.partial(_update_kernel_chunked, h_real=h_real,
+                          w_real=w_real, n_bands=n_bands, n_x=n_x, cw=cw,
+                          xwin=xwin, n_slots=n_slots),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, 5, h, wp2), jnp.float32),
+            jax.ShapeDtypeStruct((batch, 1, h, wp2), jnp.float32),
+        ],
+    )
+    return kernel
+
+
 def _correct_violations(M, viol, R0, R1, flow, sc):
     """Fix out-of-window pixels with a bounded XLA gather + scatter."""
     _, H, W = R0.shape
@@ -507,20 +790,36 @@ def _ceil(a: int, m: int) -> int:
     return ((a + m - 1) // m) * m
 
 
-# Width ceiling for the update kernels (padded lanes).  The per-band
-# buffers (two (5, WIN_H, Wp) windows + fbuf + the M/R0/flow/viol blocks)
-# total ~2.5 KB/lane-column; past ~4K-class widths they blow the 16 MB
-# VMEM budget AND the statically-unrolled per-subtile candidate block
-# (Wp/128 subtiles) grows the Mosaic program super-linearly — measured:
-# 8K (Wp 7808, 61 subtiles) crashes the compiler outright.  Above the
-# cap the XLA gather path runs (exact, same numerics).
+# Width ceiling for the FULL-WIDTH update kernels (padded lanes).  The
+# per-band buffers (two (5, WIN_H, Wp) windows + fbuf + the M/R0/flow/viol
+# blocks) total ~2.5 KB/lane-column; past ~4K-class widths they blow the
+# 16 MB VMEM budget AND the statically-unrolled per-subtile candidate
+# block (Wp/128 subtiles) grows the Mosaic program super-linearly —
+# measured: 8K (Wp 7808, 61 subtiles) crashes the compiler outright.
+# Wider frames take the COLUMN-CHUNKED variant below (its window is
+# anchored in x as well as y, so VMEM and program size are O(chunk), not
+# O(W)); only beyond MAX_WP_CHUNKED does the XLA gather path run (exact,
+# same numerics either way).
 MAX_WP = 4096
+MAX_WP_CHUNKED = 16384
+# target lanes per column chunk (n_x = ceil(Wp / XCHUNK_TARGET) chunks;
+# 8K -> 6 chunks of 1280 lanes = 10 subtiles per program step)
+XCHUNK_TARGET = 1280
+# extra lane tiles in the x-anchored window beyond the chunk itself:
+# T_MAX tiles of slack for the dx-displaced source columns (smooth-flow
+# spread within one chunk is small, same argument as the row window)
+XWIN_EXTRA_TILES = 2
 
 
-def supported_shape(h: int, w: int) -> bool:
-    """True if the kernel handles this (unpadded) shape."""
-    return (_ceil(h, TILE_H) >= WIN_H
-            and _ceil(w + 2 * COL_OFF, TILE_W) <= MAX_WP)
+def supported_shape(h: int, w: int, chunked: bool = False) -> bool:
+    """True if the kernel handles this (unpadded) shape.
+
+    chunked=True also admits the column-chunked wide-frame variant
+    (standalone batched entry only — the fused store-layout loop keeps
+    the full-width limit, so it must call with the default)."""
+    wp = _ceil(w + 2 * COL_OFF, TILE_W)
+    cap = MAX_WP_CHUNKED if chunked else MAX_WP
+    return _ceil(h, TILE_H) >= WIN_H and wp <= cap
 
 
 def update_matrices_pallas_batched_stats(R0, R1, flow):
@@ -534,10 +833,15 @@ def update_matrices_pallas_batched_stats(R0, R1, flow):
     violations) and the result is sliced back.
     """
     B, _, H, W = R0.shape
-    if not supported_shape(H, W):
+    if not supported_shape(H, W, chunked=True):
         raise ValueError(f"shape ({H},{W}) not supported by the kernel")
     Hp = _ceil(H, TILE_H)
     Wp = _ceil(W, TILE_W)
+    chunked = Wp > MAX_WP
+    if chunked:
+        # wide frames: pad the lane count to n_x equal chunks
+        n_x, cw, xwin = _chunk_geometry(Wp)
+        Wp = n_x * cw
     if (Hp, Wp) != (H, W):
         pad = [(0, 0), (0, 0), (0, Hp - H), (0, Wp - W)]
         R0p = jnp.pad(R0, pad)
@@ -553,11 +857,25 @@ def update_matrices_pallas_batched_stats(R0, R1, flow):
     n_bands = Hp // TILE_H
     ys_all = jnp.arange(Hp, dtype=jnp.float32)[None, :, None]
     yi_all = jnp.clip(jnp.round(ys_all + flowp[:, 1]), 0, H - 1)
-    ymin = jnp.min(yi_all.reshape(B, n_bands, TILE_H, Wp), axis=(2, 3))
-    anchors = jnp.clip((ymin.astype(jnp.int32) // 8) * 8, 0, Hp - WIN_H)
-    anchors = anchors.reshape(B * n_bands)
-    Mp, violp = _build(B, Hp, Wp, H, W, fast=FAST_UNIFORM)(
-        anchors, R0p, flowp, scp, R1p)
+    if chunked:
+        # per-(band, column-chunk) anchors in BOTH axes
+        ymin = jnp.min(yi_all.reshape(B, n_bands, TILE_H, n_x, cw),
+                       axis=(2, 4))
+        ay = jnp.clip((ymin.astype(jnp.int32) // 8) * 8, 0, Hp - WIN_H)
+        xs_all = jnp.arange(Wp, dtype=jnp.float32)[None, None, :]
+        xi_all = jnp.clip(jnp.round(xs_all + flowp[:, 0]), 0, W - 1)
+        xmin = jnp.min(xi_all.reshape(B, n_bands, TILE_H, n_x, cw),
+                       axis=(2, 4))
+        ax = jnp.clip((xmin.astype(jnp.int32) // TILE_W) * TILE_W,
+                      0, Wp - xwin)
+        Mp, violp = _build_chunked(B, Hp, Wp, H, W, n_x, cw, xwin)(
+            ay.reshape(-1), ax.reshape(-1), R0p, flowp, scp, R1p)
+    else:
+        ymin = jnp.min(yi_all.reshape(B, n_bands, TILE_H, Wp), axis=(2, 3))
+        anchors = jnp.clip((ymin.astype(jnp.int32) // 8) * 8, 0, Hp - WIN_H)
+        anchors = anchors.reshape(B * n_bands)
+        Mp, violp = _build(B, Hp, Wp, H, W, fast=FAST_UNIFORM)(
+            anchors, R0p, flowp, scp, R1p)
     M = Mp[:, :, :H, :W]
     viol = violp[:, 0, :H, :W] > 0.5
 

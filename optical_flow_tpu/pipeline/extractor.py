@@ -33,7 +33,8 @@ from typing import List, Sequence, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from optical_flow_tpu.io.sidecar import DoneSentinel, write_mag_to_csv
+from optical_flow_tpu.io.sidecar import (DoneSentinel, ShotProgress,
+                                         write_mag_to_csv)
 from optical_flow_tpu.io.video import VFRStreamError, VideoReader
 from optical_flow_tpu.pipeline.prefetch import DecodePrefetcher, pair_chunk_for
 from optical_flow_tpu.models.farneback import calc_flow_batched
@@ -113,11 +114,19 @@ def _magnitude_sums(prev_batch, next_batch,
     return jnp.sum(mag, axis=(-2, -1))
 
 
-def extract_video(v_path: str, config: ExtractorConfig
+def extract_video(v_path: str, config: ExtractorConfig,
+                  progress_ckpt: ShotProgress | None = None
                   ) -> Tuple[List[float], List[int]]:
     """Per-video pipeline: returns ([aggregated mags], [start_ms, end_ms]).
 
     Mirrors `get_optical_flow` (`optical_flow.py:69-117`).
+
+    progress_ckpt (optional, --resume): windows already recorded in the
+    shot-granular checkpoint are not re-decoded or re-computed; newly
+    completed chunks are appended to it as their device results land, so
+    a killed run redoes only the tail (io/sidecar.py:ShotProgress).
+    Results are ordered by window index before aggregation, making a
+    resumed run's CSV byte-identical to an uninterrupted one.
     """
     metrics = PipelineMetrics("extract")
     vid = VideoReader(v_path)
@@ -128,6 +137,10 @@ def extract_video(v_path: str, config: ExtractorConfig
     fps = vid.fps
     windows, step = _window_schedule(tot_frames, fps, config.step_size,
                                      config.window_size)
+    completed = progress_ckpt.load() if progress_ckpt is not None else {}
+    mags_by_idx = {i: t for i, t in completed.items() if i < len(windows)
+                   and (t[0], t[1]) == windows[i]}
+    todo = [(i, w) for i, w in enumerate(windows) if i not in mags_by_idx]
 
     # streamed decode (parallel segment readers, decode-ahead) of each
     # needed frame exactly once, ascending; stop at first failure
@@ -136,7 +149,7 @@ def extract_video(v_path: str, config: ExtractorConfig
     # host-side inside the decode workers (bit-exact numpy twins of the
     # device ops), so only the small gray frames are uploaded.
     vid.release()
-    needed = sorted({i for w in windows for i in w})
+    needed = sorted({f for _, w in todo for f in w})
     if config.frame_width:
         def transform(frame, _w=config.frame_width):
             return resize_gray_host(frame, _w)
@@ -146,10 +159,9 @@ def extract_video(v_path: str, config: ExtractorConfig
 
     frames = {}
     failed_at = None
-    win_iter = iter(windows)
-    pending = next(win_iter, None)
-    chunk: List[Tuple[int, int]] = []
-    mags: List[Tuple[int, int, float]] = []
+    win_iter = iter(todo)
+    pending = next(win_iter, None)          # (window_index, (start, end))
+    chunk: List[Tuple[int, Tuple[int, int]]] = []
     # chunk sizing uses the FLOW resolution (frames are resized to
     # frame_width before flow), not the source resolution
     if config.frame_width:
@@ -162,20 +174,34 @@ def extract_video(v_path: str, config: ExtractorConfig
     pending_sums = []
     validate_sample = []      # first flushed pair, host copies (--validate)
 
+    def drain_one():
+        chk, sums = pending_sums.pop(0)
+        for (idx, (s, e)), v in zip(chk, np.asarray(sums)):
+            mags_by_idx[idx] = (s, e, float(v))
+            if progress_ckpt is not None:
+                progress_ckpt.record(idx, s, e, float(v))
+
     def flush(chunk):
         if config.validate and not validate_sample:
-            validate_sample.append((np.asarray(frames[chunk[0][0]]),
-                                    np.asarray(frames[chunk[0][1]])))
+            w0 = chunk[0][1]
+            validate_sample.append((np.asarray(frames[w0[0]]),
+                                    np.asarray(frames[w0[1]])))
         with metrics.stage("flow"):
-            prev = jnp.stack([frames[w[0]] for w in chunk])
-            nxt = jnp.stack([frames[w[1]] for w in chunk])
+            prev = jnp.stack([frames[w[0]] for _, w in chunk])
+            nxt = jnp.stack([frames[w[1]] for _, w in chunk])
             sums = _magnitude_sums(prev, nxt, config)   # async dispatch
         metrics.add("frame_pairs", len(chunk))
         pending_sums.append((chunk, sums))
+        # keep two chunks in flight (pipelining); older results are
+        # already complete, so draining them checkpoints incrementally
+        # without a stall
+        while len(pending_sums) > 2:
+            drain_one()
 
     evict_th = 0
     peak_live = 0
-    with metrics.stage("stream"):
+    try:
+      with metrics.stage("stream"):
         for pos, frame in prefetch:
             if frame is None:
                 failed_at = pos
@@ -183,8 +209,8 @@ def extract_video(v_path: str, config: ExtractorConfig
             frames[pos] = jnp.asarray(frame)   # tiny gray upload, async
             metrics.add("frames_decoded")
             peak_live = max(peak_live, len(frames))
-            while pending is not None and pending[0] in frames \
-                    and pending[1] in frames:
+            while pending is not None and pending[1][0] in frames \
+                    and pending[1][1] in frames:
                 chunk.append(pending)
                 pending = next(win_iter, None)
                 if len(chunk) >= chunk_size:
@@ -194,8 +220,8 @@ def extract_video(v_path: str, config: ExtractorConfig
             # monotone in the center (`optical_flow.py:80`), so everything
             # below the earliest still-unflushed start is dead.  Without
             # this, a feature-length full-res video accumulates GBs of HBM.
-            th = chunk[0][0] if chunk else (
-                pending[0] if pending is not None else pos + 1)
+            th = chunk[0][1][0] if chunk else (
+                pending[1][0] if pending is not None else pos + 1)
             if th > evict_th:
                 for k in [k for k in frames if k < th]:
                     del frames[k]
@@ -204,11 +230,16 @@ def extract_video(v_path: str, config: ExtractorConfig
         # like the reference's early break
         if chunk:
             flush(chunk)
-        # one host sync for all chunks
-        for chk, sums in pending_sums:
-            for (start, end), s in zip(chk, np.asarray(sums)):
-                mags.append((start, end, float(s)))
+        # host sync for the remaining in-flight chunks
+        while pending_sums:
+            drain_one()
+    finally:
+        if progress_ckpt is not None:
+            progress_ckpt.close()   # flushed records survive a crash
 
+    # window-index order: identical float accumulation order whether the
+    # run was fresh or resumed (dispatch order is index order anyway)
+    mags = [mags_by_idx[i] for i in sorted(mags_by_idx)]
     if not mags:
         raise Exception(
             "Unable to extract the optical flow, no frames where found.")
@@ -260,10 +291,18 @@ def _process_one(features_root: str, videoid: str,
     sentinel = DoneSentinel(features_dir, config.done_version)
 
     if not sentinel.is_done() or config.force_run == "True":
-        aggregated, timestamps = extract_video(v_path, config)
+        ckpt = None
+        if config.resume:
+            ckpt = ShotProgress(
+                os.path.join(features_dir, f"{videoid}.progress"),
+                config.done_version)
+        aggregated, timestamps = extract_video(v_path, config,
+                                               progress_ckpt=ckpt)
         scaled = scale_magnitudes(aggregated, config.top_percentile)
         write_mag_to_csv(f_path_csv, scaled, timestamps)
         sentinel.mark_done()
+        if ckpt is not None:
+            ckpt.discard()      # .done supersedes the partial checkpoint
     else:
         logger.info("optical flow was already done")
     return True

@@ -53,5 +53,10 @@ def _honor_jax_platforms_env() -> None:
         return
     import jax
     import jax._src.xla_bridge as xb
-    if jax.config.jax_platforms != want and not xb.backends_are_initialized():
+    # Only replace the sitecustomize's exact artifact value: a different
+    # current value means the embedding program ALREADY chose a platform
+    # deliberately via jax.config.update (e.g. a CPU-forced subprocess),
+    # and the inherited env var must not undo that.
+    if (jax.config.jax_platforms == "axon,cpu" and want != "axon,cpu"
+            and not xb.backends_are_initialized()):
         jax.config.update("jax_platforms", want)

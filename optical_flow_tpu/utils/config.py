@@ -78,6 +78,10 @@ class ExtractorConfig:
     # --validate: per-video sampled EPE-vs-cv2 logging (utils/validate.py);
     # additive, absent from the reference CLI (SURVEY.md section 5)
     validate: bool = False
+    # --resume: shot-granular intra-video checkpointing (a killed run
+    # redoes only the tail; io/sidecar.py:ShotProgress).  Additive; the
+    # reference's .done is all-or-nothing (`optical_flow.py:149-168`).
+    resume: bool = False
     farneback: FarnebackConfig = dataclasses.field(default_factory=FarnebackConfig)
 
     @property

@@ -54,6 +54,7 @@ def _interpret_mode():
         for m in (ug, bs, pe, ga, cz, gr):
             m._build.cache_clear()
         bs._build_store.cache_clear()
+        ug._build_chunked.cache_clear()
 
     pl.pallas_call = patched
     clear()
@@ -120,6 +121,18 @@ def _cases(quick: bool = False) -> List[Dict]:
         flow[:, 1, 30:32, 100:160] = 45.0     # escapes the 32-row window
     add("update_gather/spill_tier2", 5e-4, 1e-4,
         update_case(64, 512, _spill))
+
+    # column-chunked wide-frame variant (width > MAX_WP; VERDICT r3 #3):
+    # 8K-class width exercises the x-anchored windows + multi-chunk grid
+    # on real Mosaic, incl. a cross-chunk horizontal displacement
+    def _dx_cross(flow):
+        flow[:, 0, :, : 2000] = 300.0         # sources 2+ chunks away
+    add("update_gather/chunked_8k_40x7680", 5e-4, 1e-4,
+        update_case(40, 7680, B=1))
+    add("update_gather/chunked_8k_dx_40x7680", 5e-4, 1e-4,
+        update_case(40, 7680, _dx_cross, B=1))
+    add("update_gather/chunked_unaligned_40x5003", 5e-4, 1e-4,
+        update_case(40, 5003, B=1))
 
     # --- blur_solve: windowed sum + 2x2 solve ---
     def blur_case(H, W, ws, gaussian=False):

@@ -85,6 +85,7 @@ class TestFullDefaults:
         # contaminates most of the area through coarse pyramid levels
         assert e.mean() < 0.25, f"mean EPE {e.mean()}"
 
+    @pytest.mark.slow
     def test_480p_epe_gate(self):
         # BASELINE.json config 1: single 480p frame pair, default params.
         # Gate: mean EPE <= 0.5 px vs cv2.  The residual (~0.2 px on weak
@@ -113,6 +114,7 @@ class TestFullDefaults:
         e = epe(ours, ref)
         assert e.mean() < 0.25, f"mean EPE {e.mean()}"
 
+    @pytest.mark.slow
     def test_batched_matches_single(self):
         f1a, f2a = smooth_texture_pair(64, 96, (1, 2), seed=1)
         f1b, f2b = smooth_texture_pair(64, 96, (2, 0), seed=2)
@@ -161,6 +163,7 @@ class TestVariants:
         assert e.mean() < 0.3, f"gaussian-window mean EPE {e.mean()}"
 
     @pytest.mark.parametrize("winsize", [7, 11, 21])
+    @pytest.mark.slow
     def test_winsize_sweep(self, winsize):
         f1, f2 = smooth_texture_pair(100, 100, (1, 2))
         cfg = FarnebackConfig(winsize=winsize)
@@ -168,12 +171,14 @@ class TestVariants:
         assert e.mean() < 0.45, f"winsize={winsize} mean EPE {e.mean()}"
 
     @pytest.mark.parametrize("poly_n,poly_sigma", [(5, 1.1), (7, 1.5)])
+    @pytest.mark.slow
     def test_poly_sweep(self, poly_n, poly_sigma):
         f1, f2 = smooth_texture_pair(100, 100, (2, 1))
         cfg = FarnebackConfig(poly_n=poly_n, poly_sigma=poly_sigma)
         e = epe(calc_flow(f1, f2, cfg), cv_flow(f1, f2, cfg))
         assert e.mean() < 0.3, f"poly {poly_n}/{poly_sigma} mean EPE {e.mean()}"
 
+    @pytest.mark.slow
     def test_pyr_scale_honored(self):
         # cv2 5.0 IGNORES pyr_scale (verified: outputs near-identical for
         # 0.25..0.9 — see docs/PARITY.md); we follow the documented classic
@@ -195,6 +200,7 @@ class TestVariants:
         np.testing.assert_allclose(med, [-2.0, -2.0], atol=0.5)
 
 
+@pytest.mark.slow
 class TestRandomizedProperty:
     def test_random_configs_hold_epe_gate(self):
         """Bounded fuzz: random (size, shift, params) combinations must all
@@ -221,6 +227,7 @@ class TestRandomizedProperty:
                 f"trial {trial}: h={h} w={w} cfg={cfg} mean EPE {e.mean()}")
 
 
+@pytest.mark.slow
 class TestChainedPairs:
     def test_chain_matches_batched(self):
         """calc_flow_chain_batched must equal calc_flow_batched on the

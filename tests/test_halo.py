@@ -40,6 +40,7 @@ class TestStageEquality:
         np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-6)
 
     @pytest.mark.parametrize("n_sp", [2, 4])
+    @pytest.mark.slow
     def test_poly_exp(self, imgs, n_sp):
         hk = HaloKernels(_mesh(8 // n_sp, n_sp), use_pallas=False)
         out = np.asarray(hk.poly_exp(imgs, 5, 1.2))
@@ -48,6 +49,7 @@ class TestStageEquality:
 
     @pytest.mark.parametrize("ws,gaussian", [(15, False), (21, False),
                                              (15, True)])
+    @pytest.mark.slow
     def test_blur_solve(self, ws, gaussian):
         rng = np.random.default_rng(1)
         r4, r5, r6, r2, r3 = (rng.standard_normal((4, 64, 128))

@@ -63,3 +63,45 @@ class TestResizeGrayHost:
             ref = cv2.cvtColor(cv2.resize(f, (129, int(129 / ratio))),
                                cv2.COLOR_BGR2GRAY)
             np.testing.assert_array_equal(got, ref)
+
+
+class TestGray42Mode:
+    def test_cv42_coefficients_selectable(self, monkeypatch):
+        """OFT_CV42_GRAY=1 switches BGR2GRAY to the pinned cv2-4.2 14-bit
+        constants (docs/PARITY_42.md); host and device twins must agree
+        with the documented formula and stay within 1 level of the 15-bit
+        default."""
+        f = _frames()[0]
+        default = bgr2gray_host(f)
+        monkeypatch.setenv("OFT_CV42_GRAY", "1")
+        got = bgr2gray_host(f)
+        np.testing.assert_array_equal(got, np.asarray(bgr2gray_u8(f)))
+        b, g, r = (f[..., i].astype(np.int64) for i in range(3))
+        want = ((b * 1868 + g * 9617 + r * 4899 + (1 << 13)) >> 14)
+        np.testing.assert_array_equal(got, want.astype(np.uint8))
+        assert np.abs(got.astype(int) - default.astype(int)).max() <= 1
+
+
+class TestParity42Harness:
+    @pytest.mark.slow
+    def test_round_trip_against_local_cv2(self, tmp_path):
+        """The pinned-toolchain harness must round-trip green against the
+        locally installed cv2 (docs/PARITY_42.md): dump with the local
+        oracle, then check THIS implementation against the dump.  This
+        validates the harness mechanics; the real 4.2 dump needs the
+        reference's docker env."""
+        import subprocess
+        import sys
+        import os
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        harness = os.path.join(repo, "benchmarks", "parity42_harness.py")
+        dump = str(tmp_path / "p42.npz")
+        r = subprocess.run([sys.executable, harness, "--dump", dump],
+                           capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, r.stderr
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        r = subprocess.run([sys.executable, harness, "--check", dump],
+                           capture_output=True, text=True, timeout=1200,
+                           env=env, cwd=repo)
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "MISMATCH" not in r.stdout, r.stdout

@@ -28,11 +28,13 @@ def interpret_mode():
     for m in (ug, bs, pe, ga, cz, gr):
         m._build.cache_clear()
     bs._build_store.cache_clear()
+    ug._build_chunked.cache_clear()
     yield
     pl.pallas_call = orig
     for m in (ug, bs, pe, ga, cz, gr):
         m._build.cache_clear()
     bs._build_store.cache_clear()
+    ug._build_chunked.cache_clear()
 
 
 class TestUpdateGatherKernel:
@@ -51,12 +53,15 @@ class TestUpdateGatherKernel:
         ref = np.asarray(core.update_matrices(R0, R1, flow))
         np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-5)
 
+    @pytest.mark.slow
     def test_smooth_flow_aligned_shape(self):
         self._check(64, 512)
 
+    @pytest.mark.slow
     def test_unaligned_shape_padding(self):
         self._check(60, 130)
 
+    @pytest.mark.slow
     def test_out_of_image_displacement_fallback(self):
         def mod(flow):
             flow[:, 0, 10:14, 30:60] = 500.0   # leaves the image entirely
@@ -67,6 +72,7 @@ class TestUpdateGatherKernel:
             flow[:, 1, 30:32, 100:160] = 45.0  # escapes the 32-row window
         self._check(64, 512, mod)
 
+    @pytest.mark.slow
     def test_second_cluster_in_kernel_pass(self):
         # a bimodal band (hard motion boundary): second cluster handled by
         # the in-kernel second-chance window
@@ -75,6 +81,7 @@ class TestUpdateGatherKernel:
             flow[:, 0, :, 256:] = -30.0
         self._check(96, 512, mod)
 
+    @pytest.mark.slow
     def test_three_clusters_residual_correction(self):
         # three widely separated clusters in one band: residual after the
         # second pass must be fixed by the XLA correction
@@ -102,6 +109,71 @@ class TestUpdateGatherKernel:
         counts = ug.consume_tier_stats()
         assert counts["tier2"] >= 1
         ug.reset_tier_counts()
+
+
+class TestUpdateGatherChunked:
+    """Column-chunked wide-frame variant (VERDICT r3 #3: frames past
+    MAX_WP used to forfeit the displaced-fetch kernel entirely).  The
+    chunk geometry is shrunk via monkeypatch so interpret mode exercises
+    real multi-chunk grids (n_x >= 3) at CPU-feasible sizes; hardware
+    truth at full 8K width comes from the selftest (utils/selftest.py)."""
+
+    def _check_chunked(self, H, W, flow_mod=None, B=1, target=256,
+                       rtol=1e-5):
+        import optical_flow_tpu.pallas.update_gather as ug
+        from optical_flow_tpu.models.farneback import core
+        orig_maxwp, orig_tgt = ug.MAX_WP, ug.XCHUNK_TARGET
+        ug.MAX_WP, ug.XCHUNK_TARGET = 256, target
+        try:
+            rng = np.random.default_rng(1)
+            R0 = jnp.asarray(
+                rng.standard_normal((B, 5, H, W)).astype(np.float32))
+            R1 = jnp.asarray(
+                rng.standard_normal((B, 5, H, W)).astype(np.float32))
+            flow = rng.standard_normal((B, 2, H, W)).astype(np.float32) * 2
+            if flow_mod is not None:
+                flow_mod(flow)
+            flow = jnp.asarray(flow)
+            out, tiers = ug.update_matrices_pallas_batched_stats(
+                R0, R1, flow)
+            ref = np.asarray(core.update_matrices(R0, R1, flow))
+            np.testing.assert_allclose(np.asarray(out), ref,
+                                       atol=1e-4, rtol=rtol)
+        finally:
+            ug.MAX_WP, ug.XCHUNK_TARGET = orig_maxwp, orig_tgt
+            ug._build_chunked.cache_clear()
+
+    def test_smooth_flow_multichunk(self):
+        self._check_chunked(40, 800)           # n_x=4, cw=256
+
+    def test_unaligned_width(self):
+        self._check_chunked(40, 777)           # pad to chunk multiple
+
+    @pytest.mark.slow
+    def test_cross_chunk_displacement(self):
+        # dx pushes sources across chunk boundaries (x-window slack path)
+        self._check_chunked(40, 800,
+                            flow_mod=lambda f: f.__setitem__(
+                                (slice(None), 0), 140.0))
+
+    @pytest.mark.slow
+    def test_large_displacement_spills_to_correction(self):
+        # far-out sources exceed the x-window: pass-2 + XLA correction
+        def mod(f):
+            f[:, 0, :, :400] = 600.0
+            f[:, 1, :, 200:300] = 33.0
+        self._check_chunked(48, 800, flow_mod=mod)
+
+    @pytest.mark.slow
+    def test_out_of_image_fallback(self):
+        # rtol 1e-3: with |dy|=1e6 the r4*dy/r6*dx intermediates reach
+        # ~1e6 and f32 association order costs ~4e-4 relative — verified
+        # identical through the UNCHUNKED kernel on this same shape, i.e.
+        # a pre-existing scale artifact of the fallback path, not a
+        # chunking difference
+        self._check_chunked(40, 800, rtol=1e-3,
+                            flow_mod=lambda f: f.__setitem__(
+                                (slice(None), 1), 1e6))
 
 
 class TestBlurSolveKernel:
@@ -142,6 +214,7 @@ class TestBlurSolveKernel:
         np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 class TestFusedIterate:
     """The store-layout iterate loop must match core.update_flow exactly
     (same three-tier spill handling as the standalone update kernel)."""
@@ -265,6 +338,7 @@ class TestPolyExpPreSmooth:
                                        exact_u8=True))
         np.testing.assert_array_equal(a, b)
 
+    @pytest.mark.slow
     def test_exact_u8_full_pyramid_is_bitwise_equal(self):
         """input_u8 threads bf16 staging through the L0 pre-smooth AND the
         gauss_resize levels; on u8 frames the flow must be bitwise equal

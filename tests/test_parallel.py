@@ -34,6 +34,7 @@ class TestMesh:
         ref = np.asarray(calc_flow_batched(prev, nxt))
         np.testing.assert_allclose(out, ref, atol=1e-4)
 
+    @pytest.mark.slow
     def test_dp_sp_flow_matches_single_device(self, batch):
         prev, nxt = batch
         mesh = make_mesh(4, 2)   # dp=4, sp=2 (height split)
@@ -62,6 +63,7 @@ class TestMesh:
         ref = np.sqrt((flow ** 2).sum(-1)).sum(axis=(-2, -1))
         np.testing.assert_allclose(sums, ref, rtol=1e-4)
 
+    @pytest.mark.slow
     def test_bgr_chain_matches_single_device(self):
         """The multi-chip visualizer path keeps the chained-pair
         optimization: overlapping per-shard sub-chains must reproduce
@@ -85,12 +87,14 @@ class TestMesh:
         ref = np.asarray(calc_flow_bgr_chain_batched(frames))
         np.testing.assert_array_equal(out, ref)
 
+    @pytest.mark.slow
     def test_graft_dryrun(self):
         import __graft_entry__ as g
         g.dryrun_multichip(8)
         g.dryrun_multichip(4)
 
 
+@pytest.mark.slow
 class TestMultiHost:
     def test_two_process_distributed_corpus(self, tmp_path):
         """Two real processes, coordinated via jax.distributed (the DCN
@@ -161,6 +165,7 @@ class TestCorpusSharding:
 
 
 class TestExtractorMeshPath:
+    @pytest.mark.slow
     def test_mesh_matches_single_device(self, tmp_path, monkeypatch):
         """The extractor's device step auto-shards over all local devices
         (BASELINE config 5); dp sharding must not change the CSV-visible

@@ -4,8 +4,10 @@ keeps the harness itself (case wiring, tolerances, verdict JSON) under CI
 while hardware runs carry the real Mosaic signal."""
 
 import numpy as np
+import pytest
 
 
+@pytest.mark.slow
 def test_selftest_green_and_complete():
     from optical_flow_tpu.utils.selftest import _cases, run_selftest
     # hardware runs the full list: every kernel, several shape classes
