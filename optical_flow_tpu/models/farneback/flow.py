@@ -115,11 +115,12 @@ def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
     frame into the next pair).
 
     sp_kernels: optional parallel.halo.HaloKernels — the spatially-sharded
-    stencil entries (shard_map + ppermute halo exchange).  When set, the
-    separable stages (gauss / polyexp / blur+solve) run as halo-exchanged
-    per-shard kernels and the fused single-chip variants are disabled;
-    the displaced-fetch update stays on the XLA path (its gather needs
-    global access — see parallel/halo.py).
+    stencil entries (shard_map + ppermute halo exchange).  When set, every
+    stage (gauss / polyexp / displaced-fetch update / blur+solve) runs as
+    a halo-exchanged per-shard kernel (Pallas per shard on TPU) and only
+    the fused single-chip iterate variant is disabled; the update's
+    out-of-halo fetches go through a bounded global correction
+    (parallel/halo.py, VERDICT r3 #6).
 
     Returns (flow, tiers): tiers is the (2,) int32 sum of the update
     kernel's exactness-tier flags over all levels/iterations ([tier-2
@@ -198,8 +199,13 @@ def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
                                    gaussian=cfg.gaussian_window)
             tiers_total = tiers_total + tiers
             continue
-        update_fn_stats = (_pick_update_fn_stats(lv.height, lv.width)
-                           if use_pallas and sp_kernels is None else None)
+        if sp_kernels is not None:
+            # halo-sharded update (replicate-halo fetch + seam correction,
+            # parallel/halo.py): per-shard Pallas on TPU, XLA elsewhere
+            update_fn_stats = sp_kernels.update_matrices_stats
+        else:
+            update_fn_stats = (_pick_update_fn_stats(lv.height, lv.width)
+                               if use_pallas else None)
         if sp_kernels is not None:
             blur_solve_fn = (lambda M: sp_kernels.blur_solve(
                 M, cfg.winsize, cfg.gaussian_window))

@@ -22,14 +22,25 @@ rows see true neighbor data (interior shards) or the synthesized global
 border (edge shards), so the sharded result equals the single-device
 result up to float reassociation.
 
-The displaced-fetch matrix update (core.update_matrices) is deliberately
-NOT decomposed here: its gather displacement is unbounded (cv2 clamps to
-the full image), so an exact sharded fetch needs global access — XLA's
-SPMD partitioner handles it from the sharding annotations.  This is also
-self-consistent with the single-chip design point: at the 8K-class widths
-that motivate spatial sharding, the Pallas update kernel is already gated
-off by MAX_WP (pallas/update_gather.py), so the XLA update path is what
-runs with or without sp.  See docs/ARCHITECTURE.md.
+The displaced-fetch matrix update IS decomposed (update_matrices_stats;
+VERDICT r3 #6 — sp used to forfeit it to the GSPMD global gather), via
+three observations that make the per-shard run of the UNMODIFIED update
+(Pallas kernel on TPU, core.update_matrices elsewhere) globally exact:
+
+  1. a WIN_H-row replicate-synthesized halo makes the local clamped
+     fetch equal the GLOBAL clamped fetch for every displacement that
+     lands within the halo (edge shards' replicate rows ARE the rows the
+     global clamp would return);
+  2. every M term is a product of two sc-scaled values, so the global
+     row border ramp the local run cannot see (its own ramp lands
+     entirely inside the discarded halo rows, since WIN_H > BORDER) is
+     a pure post-multiply by roww^2 on the first/last BORDER rows;
+  3. pixels where local and global semantics CAN disagree — the fetch
+     leaves the halo, or the pre-clip coordinate is outside the global
+     image but inside the replicate halo (fallback vs fetch) — are an
+     analytically computable mask, fixed by the same bounded
+     gather+scatter tier the single-chip kernel uses (VIOL_MAX), with a
+     full global recompute above it.  Exactness is never sacrificed.
 """
 
 from __future__ import annotations
@@ -84,6 +95,63 @@ def halo_extend(x, r: int, n_sp: int, mode: str,
     bot = jnp.where(idx == n_sp - 1, _synth_border(x, r, mode, top=False),
                     from_below)
     return jnp.concatenate([top, x, bot], axis=-2)
+
+
+def _correct_seams(M, unsafe, gin, R0, R1, flow, sc):
+    """Global-semantics fix for the sp update's seam-mismatch pixels —
+    update_gather._correct_violations plus the inside/fallback branch
+    (a seam pixel can be one whose GLOBAL semantics is the R0-only
+    fallback while the replicate halo made the local run fetch)."""
+    from optical_flow_tpu.pallas.update_gather import VIOL_MAX
+
+    _, H, W = R0.shape
+    flat = unsafe.reshape(-1)
+    idx = jnp.nonzero(flat, size=VIOL_MAX, fill_value=0)[0]
+    valid = flat[idx]
+    py = (idx // W).astype(jnp.int32)
+    px = (idx % W).astype(jnp.int32)
+    dxv = flow[0].reshape(-1)[idx]
+    dyv = flow[1].reshape(-1)[idx]
+    x1 = jnp.round(px.astype(jnp.float32) + dxv)
+    y1 = jnp.round(py.astype(jnp.float32) + dyv)
+    xi = jnp.clip(x1, 0, W - 1).astype(jnp.int32)
+    yi = jnp.clip(y1, 0, H - 1).astype(jnp.int32)
+    src = yi * W + xi
+    R1f = R1.reshape(5, -1)
+    R0f = R0.reshape(5, -1)
+    fetched = R1f[:, src]
+    r0 = R0f[:, idx]
+    insi = gin.reshape(-1)[idx]
+    f0 = jnp.where(insi, fetched[0], 0.0)
+    f1 = jnp.where(insi, fetched[1], 0.0)
+    r4 = jnp.where(insi, (r0[2] + fetched[2]) * 0.5, r0[2])
+    r5 = jnp.where(insi, (r0[3] + fetched[3]) * 0.5, r0[3])
+    r6 = jnp.where(insi, (r0[4] + fetched[4]) * 0.25, r0[4] * 0.5)
+    r2 = (r0[0] - f0) * 0.5 + (r4 * dyv + r6 * dxv)
+    r3 = (r0[1] - f1) * 0.5 + (r6 * dyv + r5 * dxv)
+    s = sc.reshape(-1)[idx]
+    r2 = r2 * s
+    r3 = r3 * s
+    r4 = r4 * s
+    r5 = r5 * s
+    r6 = r6 * s
+    mvals = jnp.stack([
+        r4 * r4 + r6 * r6,
+        (r4 + r5) * r6,
+        r5 * r5 + r6 * r6,
+        r4 * r2 + r6 * r3,
+        r6 * r2 + r5 * r3,
+    ])
+    Mf = M.reshape(5, -1)
+    mvals = jnp.where(valid[None, :], mvals, Mf[:, idx])
+    return Mf.at[:, idx].set(mvals).reshape(5, H, W)
+
+
+def tiers_flags_sum(tiers_sh, n_per):
+    """Combine the per-shard inner tier vectors with the seam-correction
+    tier flags into one (2,) int32 vector."""
+    from optical_flow_tpu.pallas.update_gather import tier_flags
+    return jnp.sum(tiers_sh.reshape(-1, 2), axis=0) + tier_flags(n_per)
 
 
 class HaloKernels:
@@ -180,6 +248,82 @@ class HaloKernels:
             per_shard, mesh=self.mesh,
             in_specs=P("data", None, "spatial", None),
             out_specs=P("data", None, "spatial", None), check_vma=False)(M)
+
+    # -- displaced-fetch matrix update (see module docstring pt. 1-3) ----
+    def update_matrices_stats(self, R0, R1, flow):
+        """Halo-sharded FarnebackUpdateMatrices: (M, tiers), globally
+        exact (matches core.update_matrices up to float reassociation).
+
+        Always callable under sp: shapes that don't decompose fall back
+        to the plain global op (GSPMD partitioning), tiers = zeros."""
+        from optical_flow_tpu.pallas.update_gather import (
+            VIOL_MAX, WIN_H, supported_shape, tier_flags,
+            update_matrices_pallas_batched_stats)
+
+        b, _, h, w = R0.shape
+        r = WIN_H
+        ok, _ = self._plan(b, h, w, r)
+        if not ok:
+            return (core.update_matrices(R0, R1, flow),
+                    jnp.zeros((2,), jnp.int32))
+        hl = h // self.n_sp
+        ext_h = hl + 2 * r
+        use_p = (self.use_pallas and min(ext_h, w) >= 64
+                 and supported_shape(ext_h, w, chunked=True))
+
+        def per_shard(R0l, R1l, fl):
+            R0e = halo_extend(R0l, r, self.n_sp, "edge")
+            R1e = halo_extend(R1l, r, self.n_sp, "edge")
+            fle = halo_extend(fl, r, self.n_sp, "edge")
+            if use_p:
+                Ml, t = update_matrices_pallas_batched_stats(R0e, R1e, fle)
+            else:
+                Ml = core.update_matrices(R0e, R1e, fle)
+                t = jnp.zeros((2,), jnp.int32)
+            return Ml[..., r:r + hl, :], t[None]
+
+        M, tiers_sh = jax.shard_map(
+            per_shard, mesh=self.mesh,
+            in_specs=(P("data", None, "spatial", None),) * 3,
+            out_specs=(P("data", None, "spatial", None),
+                       P(("data", "spatial"), None)),
+            check_vma=False)(R0, R1, flow)
+
+        # (2) global row border ramp (sc is separable; M quadratic in sc)
+        roww = core._border_axis_weights_traced(h, h, 0)
+        M = M * (roww * roww)[None, None, :, None]
+
+        # (3) seam-mismatch pixels: global-inside XOR locally-fetchable
+        dx = flow[:, 0]
+        dy = flow[:, 1]
+        ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+        xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+        x1 = jnp.round(xs + dx)
+        y1 = jnp.round(ys + dy)
+        xin = (x1 >= 0) & (x1 <= w - 1)
+        gin = xin & (y1 >= 0) & (y1 <= h - 1)
+        shard_of_row = (jnp.arange(h, dtype=jnp.int32) // hl)[None, :, None]
+        lin = (xin & (y1 >= (shard_of_row * hl - r))
+               & (y1 <= (shard_of_row * hl + hl + r - 1)))
+        unsafe = gin != lin
+        n_per = jnp.sum(unsafe, axis=(-2, -1))
+        sc = core.border_scale_field_traced(h, w)
+
+        def corrected(m):
+            return jax.vmap(_correct_seams)(
+                m, unsafe, gin, R0, R1, flow,
+                jnp.broadcast_to(sc, (b,) + sc.shape))
+
+        def full_recompute(m):
+            return core.update_matrices(R0, R1, flow)
+
+        M = jax.lax.cond(
+            jnp.max(n_per) > VIOL_MAX,
+            full_recompute,
+            lambda m: jax.lax.cond(jnp.sum(n_per) > 0, corrected,
+                                   lambda x: x, m),
+            M)
+        return M, tiers_flags_sum(tiers_sh, n_per)
 
     @staticmethod
     def _fallback_blur(M, winsize: int, gaussian: bool):

@@ -62,6 +62,85 @@ class TestStageEquality:
         ref = np.asarray(HaloKernels._fallback_blur(M, ws, gaussian))
         np.testing.assert_allclose(out, ref, atol=1e-4, rtol=1e-4)
 
+    def _update_inputs(self, h=128, w=128, B=2, seed=6):
+        rng = np.random.default_rng(seed)
+        img = rng.uniform(0, 255, (2 * B, h, w)).astype(np.float32)
+        R = np.asarray(core.poly_exp(img, 5, 1.2))
+        flow = rng.standard_normal((B, 2, h, w)).astype(np.float32) * 2
+        return R[:B], R[B:], flow
+
+    def test_update_smooth_flow(self):
+        """All fetches land inside the WIN_H replicate halo: the sharded
+        update must equal the global op everywhere, incl. the border-ramp
+        rows the local runs cannot see (VERDICT r3 #6)."""
+        R0, R1, flow = self._update_inputs()
+        # keep the global-border fetches in-image: a pixel whose pre-clip
+        # coordinate leaves the image is a (correct, bounded) seam
+        # correction, exercised by the edge_fallback test below
+        flow[:, 1, :8] = 0.3
+        flow[:, 1, -8:] = -0.3
+        hk = HaloKernels(_mesh(2, 2), use_pallas=False)
+        assert hk._plan(2, 128, 128, 32)[0]    # really sharded, not the
+        out, tiers = hk.update_matrices_stats(R0, R1, flow)  # fallback
+        ref = np.asarray(core.update_matrices(R0, R1, flow))
+        np.testing.assert_allclose(np.asarray(out), ref,
+                                   atol=1e-4, rtol=1e-5)
+        assert np.asarray(tiers).tolist() == [0, 0]
+
+    def test_update_cross_seam_spill(self):
+        """Displacements past the halo (|dy| > WIN_H across a shard seam)
+        must go through the bounded seam correction and still match."""
+        R0, R1, flow = self._update_inputs()
+        flow[:, 1, 60:64, 40:90] = 45.0        # shard 0 -> deep in shard 1
+        hk = HaloKernels(_mesh(2, 2), use_pallas=False)
+        out, tiers = hk.update_matrices_stats(R0, R1, flow)
+        ref = np.asarray(core.update_matrices(R0, R1, flow))
+        np.testing.assert_allclose(np.asarray(out), ref,
+                                   atol=1e-4, rtol=1e-5)
+        assert np.asarray(tiers)[0] >= 1       # tier-2 fired
+
+    def test_update_edge_fallback_vs_replicate_halo(self):
+        """Pre-clip coordinates just OUTSIDE the global image but inside
+        the top shard's replicate halo: global semantics is the R0-only
+        fallback while the local run fetches — the analytic seam mask
+        must catch and fix every such pixel."""
+        R0, R1, flow = self._update_inputs()
+        flow[:, 1, :8, :] = -6.0               # y1 < 0 for the top rows
+        hk = HaloKernels(_mesh(2, 2), use_pallas=False)
+        out, _ = hk.update_matrices_stats(R0, R1, flow)
+        ref = np.asarray(core.update_matrices(R0, R1, flow))
+        np.testing.assert_allclose(np.asarray(out), ref,
+                                   atol=1e-4, rtol=1e-5)
+
+    def test_update_out_of_image(self):
+        R0, R1, flow = self._update_inputs()
+        flow[:, 1] = 1e4                       # fallback everywhere
+        hk = HaloKernels(_mesh(2, 2), use_pallas=False)
+        out, _ = hk.update_matrices_stats(R0, R1, flow)
+        ref = np.asarray(core.update_matrices(R0, R1, flow))
+        np.testing.assert_allclose(np.asarray(out), ref,
+                                   atol=1e-4, rtol=1e-4)
+
+    @pytest.mark.slow
+    def test_update_four_shards(self):
+        R0, R1, flow = self._update_inputs(h=256, B=1)
+        flow[:, 1, 120:128, :30] = 50.0
+        hk = HaloKernels(_mesh(1, 4), use_pallas=False)
+        assert hk._plan(1, 256, 128, 32)[0]
+        out, _ = hk.update_matrices_stats(R0, R1, flow)
+        ref = np.asarray(core.update_matrices(R0, R1, flow))
+        np.testing.assert_allclose(np.asarray(out), ref,
+                                   atol=1e-4, rtol=1e-5)
+
+    def test_update_fallback_on_shallow_shards(self):
+        # hl=16 < WIN_H+1: must fall back to the plain global op exactly
+        R0, R1, flow = self._update_inputs()
+        hk = HaloKernels(_mesh(1, 8), use_pallas=False)
+        out, tiers = hk.update_matrices_stats(R0, R1, flow)
+        np.testing.assert_array_equal(
+            np.asarray(out), np.asarray(core.update_matrices(R0, R1, flow)))
+        assert np.asarray(tiers).tolist() == [0, 0]
+
     def test_fallback_on_indivisible_height(self):
         # h=66 % 4 != 0 -> the plain global op must run (and be exact)
         rng = np.random.default_rng(2)
@@ -93,6 +172,7 @@ class TestPallasInsideShardMap:
         import optical_flow_tpu.pallas.blur_solve as bs
         import optical_flow_tpu.pallas.gauss as ga
         import optical_flow_tpu.pallas.polyexp as pe
+        import optical_flow_tpu.pallas.update_gather as ug
 
         orig = pl.pallas_call
 
@@ -101,9 +181,10 @@ class TestPallasInsideShardMap:
             return orig(*args, **kwargs)
 
         def clear():
-            for m in (bs, ga, pe):
+            for m in (bs, ga, pe, ug):
                 m._build.cache_clear()
             bs._build_store.cache_clear()
+            ug._build_chunked.cache_clear()
 
         pl.pallas_call = patched
         clear()
@@ -139,3 +220,19 @@ class TestPallasInsideShardMap:
         out = np.asarray(hk.blur_solve(M, 15, False))
         ref = np.asarray(HaloKernels._fallback_blur(M, 15, False))
         np.testing.assert_allclose(out, ref, atol=1e-3, rtol=1e-3)
+
+    @pytest.mark.slow
+    def test_update_pallas(self, big):
+        """The pod configuration for the displaced fetch: the PALLAS
+        update kernel per shard under the replicate halo + seam
+        correction, incl. a cross-seam spill."""
+        R = np.asarray(core.poly_exp(big, 5, 1.2))
+        rng = np.random.default_rng(6)
+        flow = rng.standard_normal((1, 2, 128, 128)).astype(np.float32)
+        flow[:, 1, 60:64, 10:60] = 45.0
+        hk = HaloKernels(_mesh(1, 2), use_pallas=True)
+        out, tiers = hk.update_matrices_stats(R[:1], R[1:], flow)
+        ref = np.asarray(core.update_matrices(R[:1], R[1:], flow))
+        np.testing.assert_allclose(np.asarray(out), ref,
+                                   atol=5e-4, rtol=1e-4)
+        assert np.asarray(tiers)[0] >= 1
