@@ -7,7 +7,14 @@ sync methodology (scalar host read; block_until_ready does not block on
 tunneled transports).  Also asserts the two modes agree bitwise — the
 fast path must be a pure re-scheduling of identical work.
 
-Usage: python benchmarks/exp_update_variants.py [--modes base,fast]
+Modes (each a (FAST_UNIFORM, SPLIT_NONUNIFORM) setting):
+  base  — both off (round-2 structure)
+  fast  — band-uniform fast path, non-uniform bands pay the full
+          statically-unrolled V_MAX block (round-3 structure)
+  split — fast path + split non-uniform branch (quick vmax=1 fill +
+          per-subtile-gated fori; round-4 structure, on by default)
+
+Usage: python benchmarks/exp_update_variants.py [--modes fast,split]
 Prints one JSON object.
 """
 
@@ -58,7 +65,7 @@ def _measure(f1, f2, batch=16, iters=6, pipeline=5):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--modes", default="base,fast")
+    ap.add_argument("--modes", default="fast,split")
     ap.add_argument("--skip-boundary", action="store_true")
     args = ap.parse_args()
 
@@ -75,7 +82,8 @@ def main():
     results = {}
     flows = {}
     for mode in args.modes.split(","):
-        ug.FAST_UNIFORM = (mode == "fast")
+        ug.FAST_UNIFORM = mode in ("fast", "split")
+        ug.SPLIT_NONUNIFORM = (mode == "split")
         flowmod._jitted_batched.cache_clear()
         r = {}
         t0 = time.perf_counter()

@@ -131,12 +131,22 @@ def consume_tier_stats() -> dict:
 # experiment harness flips it to A/B the candidate-block cost.
 FAST_UNIFORM = True
 
+# Split non-uniform branch (see _update_kernel.split_passes): a band that
+# fails the uniformity pre-sweep (e.g. it straddles a motion boundary) no
+# longer pays the statically-unrolled V_MAX x T_MAX block on EVERY subtile
+# — it runs the vmax=1 quick fill everywhere and a per-subtile-GATED fori
+# pass only where pixels remain (on real content 1-2 boundary subtiles of
+# ~15).  Output is bitwise-identical: a pixel's fetched value does not
+# depend on which pass covers it.  Flag exists for the A/B harness.
+SPLIT_NONUNIFORM = True
+
 
 def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
                    m_ref, viol_ref, win, win2, fbuf, sem, sem2, *,
                    h_real: int, w_real: int, n_bands: int, n_slots: int,
                    row_off: int = 0, col_off: int = 0,
-                   tile_h: int = TILE_H, fast: bool = True):
+                   tile_h: int = TILE_H, fast: bool = True,
+                   split: bool = True):
     """Grid: (B * H/TILE_H,) row bands.  Each step processes an (TILE_H, W)
     band of one batch element: one dynamic-window DMA (5, WIN_H, W)
     anchored at the band's minimum fetched row (precomputed at XLA level
@@ -317,6 +327,44 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
         def _():
             viol_ref[0, 0] = jnp.zeros((tile_h, Wp), jnp.float32)
 
+    def split_passes(sub_scalars):
+        """Non-uniform band, split form (SPLIT_NONUNIFORM): quick vmax=1
+        fill over all subtiles (identical to the uniform arm's work),
+        then a per-subtile-GATED fori pass over the residual — on a
+        motion-boundary band only the 1-2 subtiles the blur ramp crosses
+        have any residual, so the statically-unrolled V_MAX block is
+        never paid band-wide.  Residual after the in-window gated pass
+        goes to the re-anchored second-chance window exactly as in
+        full_passes; the violation mask (and therefore the tier
+        semantics) is computed the same way."""
+        covered_q = fetch_pass(load_win1, anchors_ref[gi], inside, vmax=1,
+                               sub_scalars=sub_scalars)
+        rem = inside & jnp.logical_not(covered_q)
+        covered_g = fetch_pass(load_win1, anchors_ref[gi], rem,
+                               gated=True, vmax=V2_MAX)
+        spill = rem & jnp.logical_not(covered_g)
+
+        @pl.when(jnp.any(spill))
+        def _():
+            sy2 = pl.multiple_of(jnp.clip(
+                (jnp.min(jnp.where(spill, yi, Hp - 1)) // 8) * 8,
+                0, Hp - WIN_H), 8)
+            cp2 = pltpu.make_async_copy(
+                r1_hbm.at[gi // n_bands, :, pl.ds(sy2, WIN_H), :], win2,
+                sem2)
+            cp2.start()
+            cp2.wait()
+            covered2 = fetch_pass(
+                lambda c, v8, off: win2[c, pl.ds(v8, 16),
+                                        pl.ds(off, TILE_W)],
+                sy2, spill, gated=True, vmax=V2_MAX)
+            viol_ref[0, 0] = (spill & jnp.logical_not(covered2)
+                              ).astype(jnp.float32)
+
+        @pl.when(jnp.logical_not(jnp.any(spill)))
+        def _():
+            viol_ref[0, 0] = jnp.zeros((tile_h, Wp), jnp.float32)
+
     if fast:
         # Band-uniformity pre-sweep: box-blurred flow is constant across
         # most subtiles of real content, so the V_MAX x T_MAX candidate
@@ -357,7 +405,10 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
 
         @pl.when(jnp.logical_not(uniform))
         def _():
-            full_passes(sub_scalars=scalars1)
+            if split:
+                split_passes(sub_scalars=scalars1)
+            else:
+                full_passes(sub_scalars=scalars1)
     else:
         dma(slot, gi).wait()
         full_passes()
@@ -402,7 +453,7 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
 @functools.lru_cache(maxsize=64)
 def _build(batch: int, h: int, w: int, h_real: int, w_real: int,
            row_off: int = 0, col_off: int = 0, tile_h: int = TILE_H,
-           fast: bool = True):
+           fast: bool = True, split: bool = True):
     n_bands = h // tile_h
 
     def bmap(gi, _anchors):
@@ -442,7 +493,7 @@ def _build(batch: int, h: int, w: int, h_real: int, w_real: int,
         functools.partial(_update_kernel, h_real=h_real, w_real=w_real,
                           n_bands=n_bands, n_slots=n_slots,
                           row_off=row_off, col_off=col_off, tile_h=tile_h,
-                          fast=fast),
+                          fast=fast, split=split),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((batch, 5, h, w), jnp.float32),
@@ -588,10 +639,16 @@ def _update_kernel_chunked(ay_ref, ax_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
     ay1 = ay_ref[gi]
     ax1 = ax_ref[gi] // TILE_W       # window origin tile (pass 1)
 
-    def full_passes(sub_scalars=None):
-        covered1 = fetch_pass(load_win1, ay1, ax1, inside,
-                              sub_scalars=sub_scalars)
-        spill = inside & jnp.logical_not(covered1)
+    def split_passes(sub_scalars):
+        """Split non-uniform branch (see _update_kernel.split_passes):
+        quick vmax=1 fill, per-subtile-gated in-window fori pass over the
+        residual, then the re-anchored second-chance window."""
+        covered_q = fetch_pass(load_win1, ay1, ax1, inside, vmax=1,
+                               sub_scalars=sub_scalars)
+        rem = inside & jnp.logical_not(covered_q)
+        covered_g = fetch_pass(load_win1, ay1, ax1, rem, gated=True,
+                               vmax=V2_MAX)
+        spill = rem & jnp.logical_not(covered_g)
 
         @pl.when(jnp.any(spill))
         def _():
@@ -647,7 +704,7 @@ def _update_kernel_chunked(ay_ref, ax_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
 
     @pl.when(jnp.logical_not(uniform))
     def _():
-        full_passes(sub_scalars=scalars1)
+        split_passes(sub_scalars=scalars1)
 
     fetched = jnp.stack([fbuf[c] for c in range(5)])
 
@@ -874,7 +931,8 @@ def update_matrices_pallas_batched_stats(R0, R1, flow):
         ymin = jnp.min(yi_all.reshape(B, n_bands, TILE_H, Wp), axis=(2, 3))
         anchors = jnp.clip((ymin.astype(jnp.int32) // 8) * 8, 0, Hp - WIN_H)
         anchors = anchors.reshape(B * n_bands)
-        Mp, violp = _build(B, Hp, Wp, H, W, fast=FAST_UNIFORM)(
+        Mp, violp = _build(B, Hp, Wp, H, W, fast=FAST_UNIFORM,
+                           split=SPLIT_NONUNIFORM)(
             anchors, R0p, flowp, scp, R1p)
     M = Mp[:, :, :H, :W]
     viol = violp[:, 0, :H, :W] > 0.5
@@ -1004,7 +1062,8 @@ def update_matrices_store(R0p, R1p, flowp, scp, h: int, w: int):
     anchors = jnp.clip((ymin.astype(jnp.int32) // 8) * 8, 0, Hs - WIN_H)
     anchors = anchors.reshape(B * n_bands)
     Mst, violp = _build(B, Hs, Ws, h, w, ROW_OFF, COL_OFF, tile_h,
-                        fast=FAST_UNIFORM)(anchors, R0p, flowp, scp, R1p)
+                        fast=FAST_UNIFORM, split=SPLIT_NONUNIFORM)(
+                            anchors, R0p, flowp, scp, R1p)
     viol = violp[:, 0] > 0.5
 
     n_viol_per = jnp.sum(viol, axis=(-2, -1))

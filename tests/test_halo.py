@@ -69,6 +69,7 @@ class TestStageEquality:
         flow = rng.standard_normal((B, 2, h, w)).astype(np.float32) * 2
         return R[:B], R[B:], flow
 
+    @pytest.mark.slow
     def test_update_smooth_flow(self):
         """All fetches land inside the WIN_H replicate halo: the sharded
         update must equal the global op everywhere, incl. the border-ramp
@@ -99,6 +100,7 @@ class TestStageEquality:
                                    atol=1e-4, rtol=1e-5)
         assert np.asarray(tiers)[0] >= 1       # tier-2 fired
 
+    @pytest.mark.slow
     def test_update_edge_fallback_vs_replicate_halo(self):
         """Pre-clip coordinates just OUTSIDE the global image but inside
         the top shard's replicate halo: global semantics is the R0-only
@@ -112,6 +114,7 @@ class TestStageEquality:
         np.testing.assert_allclose(np.asarray(out), ref,
                                    atol=1e-4, rtol=1e-5)
 
+    @pytest.mark.slow
     def test_update_out_of_image(self):
         R0, R1, flow = self._update_inputs()
         flow[:, 1] = 1e4                       # fallback everywhere
