@@ -31,6 +31,58 @@ H, W = 1080, 1920
 WARMUP = 2
 
 
+def _probe_backend_subprocess(max_tries=3, timeout=330.0, base_sleep=30.0):
+    """Bounded out-of-process handshake probe.
+
+    The axon transport has two failure modes: a raised init error
+    (handled in-process below) and a silent HANG of the first device
+    touch (round-3 MULTICHIP rc=124; observed again round 4 — a probe
+    exceeded 400 s where a healthy handshake takes 80-140 s).  A hang
+    inside jax.devices() holds the GIL in C and cannot be interrupted
+    in-process, so the only way to convert it into bounded retries is to
+    take the first handshake in a killable child.  Only after a child
+    handshake succeeds do we initialize in-process (which then takes the
+    same ~2 min but is overwhelmingly likely to succeed).  All probes
+    failing raises quickly — a clean rc=1 with the real error instead of
+    the driver's rc=124.
+    """
+    import subprocess
+    import sys
+    import time as _time
+
+    if "axon" not in os.environ.get("JAX_PLATFORMS", "axon"):
+        return  # explicit CPU run (local testing): nothing can wedge
+    code = (
+        "import jax, sys\n"
+        "d = jax.devices()\n"
+        "ok = bool(d) and d[0].platform != 'cpu'\n"
+        "print('probe devices:', d, flush=True)\n"
+        "sys.exit(0 if ok else 2)\n")
+    last = "unknown"
+    for attempt in range(max_tries):
+        t0 = _time.time()
+        try:
+            res = subprocess.run([sys.executable, "-c", code],
+                                 timeout=timeout, capture_output=True,
+                                 text=True)
+            if res.returncode == 0:
+                print(f"# backend probe ok in {_time.time() - t0:.0f}s",
+                      flush=True)
+                return
+            last = (f"probe rc={res.returncode}: "
+                    f"{(res.stderr or res.stdout).strip()[-400:]}")
+        except subprocess.TimeoutExpired:
+            last = f"probe hung >{timeout:.0f}s (wedged transport)"
+        if attempt < max_tries - 1:
+            sleep = base_sleep * (attempt + 1)
+            print(f"# backend probe failed ({last}); retry "
+                  f"{attempt + 1}/{max_tries - 1} in {sleep:.0f}s",
+                  flush=True)
+            _time.sleep(sleep)
+    raise RuntimeError(f"TPU backend unreachable after {max_tries} "
+                       f"subprocess probes; last: {last}")
+
+
 def _backend_ready_with_retries(max_tries=4, base_sleep=25.0):
     """First device touch, with bounded retries.
 
@@ -39,12 +91,13 @@ def _backend_ready_with_retries(max_tries=4, base_sleep=25.0):
     caches the init failure in xla_bridge._backend_errors, so a bare
     retry would re-raise instantly; _clear_backends() resets both caches
     and makes the next jax.devices() re-attempt the handshake.  Retries
-    cover the raise mode only — a hung transport is bounded by the
-    caller's own timeout.
+    here cover the raise mode; the HANG mode is converted into bounded
+    retries by the subprocess probe first (_probe_backend_subprocess).
     """
     import time as _time
 
     import jax
+    _probe_backend_subprocess()
     last = None
     for attempt in range(max_tries):
         try:
