@@ -66,13 +66,16 @@ def _pick_gauss_fn(h: int, w: int):
     return core.gaussian_blur_reflect101
 
 
-def _pick_gauss_resize_fn(h: int, w: int, out_h: int, out_w: int, s: int):
+def _pick_gauss_resize_fn(h: int, w: int, out_h: int, out_w: int, s: int,
+                          ksize: int = 19, bf16: bool = False):
     """Fused Pallas smooth+downsample (one kernel instead of full-res blur
-    + separate resize) when the level dims divide exactly by s = 2^k."""
+    + separate resize) when the level dims divide exactly by s = 2^k and
+    the width-proportional window scratch fits scoped VMEM (8K-wide s=8
+    levels fall back to gauss + resize)."""
     if _on_tpu() and min(h, w) >= 64:
         from optical_flow_tpu.pallas.gauss_resize import (
             gaussian_blur_resize_pallas, supported)
-        if supported(h, w, out_h, out_w, s):
+        if supported(h, w, out_h, out_w, s, ksize=ksize, bf16=bf16):
             return gaussian_blur_resize_pallas
     return None
 
@@ -152,7 +155,8 @@ def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
         # unique frames as one batch for the shared smoothing/polyexp
         both = prev_f if chain else jnp.concatenate([prev_f, nxt_f], axis=0)
         gauss_resize_fn = (_pick_gauss_resize_fn(
-            h_full, w_full, lv.height, lv.width, 2 ** lv.k)
+            h_full, w_full, lv.height, lv.width, 2 ** lv.k,
+            ksize=len(kern), bf16=bool(input_u8))
             if use_pallas and sp_kernels is None else None)
         if gauss_resize_fn is not None:
             # smooth + downsample in one kernel (s-fold compute saving);

@@ -56,15 +56,24 @@ def _kernel(ip_hbm, o_ref, win, sem, *, r: int, pad: int, out_w: int,
     dma(slot, gi).wait()
 
     w = win[slot]
-    v = None
-    for j in range(2 * r + 1):
-        t = w[pad - r + j: pad - r + j + TILE_H, :] * jnp.float32(taps[j])
-        v = t if v is None else v + t
-    o = None
-    for k in range(2 * r + 1):
-        t = v[:, pad - r + k: pad - r + k + out_w] * jnp.float32(taps[k])
-        o = t if o is None else o + t
-    o_ref[0] = o
+    # width-chunked so the unrolled-tap temporaries fit the VMEM stack at
+    # 8K (19 full-width (16, 7808) f32 temps billed 16.39M scoped — BENCH
+    # round 4; same scheme as polyexp.py/blur_solve.py).  Bitwise
+    # identical: per-pixel adds are unchanged, only temp shapes differ.
+    XCHUNK = min(out_w, 1024)
+    for x0 in range(0, out_w, XCHUNK):
+        cw = min(XCHUNK, out_w - x0)
+        v = None
+        for j in range(2 * r + 1):
+            t = (w[pad - r + j: pad - r + j + TILE_H,
+                   pad - r + x0: pad - r + x0 + cw + 2 * r]
+                 * jnp.float32(taps[j]))
+            v = t if v is None else v + t
+        o = None
+        for k in range(2 * r + 1):
+            t = v[:, k: k + cw] * jnp.float32(taps[k])
+            o = t if o is None else o + t
+        o_ref[0, :, x0:x0 + cw] = o
 
 
 @functools.lru_cache(maxsize=64)

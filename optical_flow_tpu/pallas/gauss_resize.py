@@ -78,26 +78,34 @@ def _kernel(ip_hbm, o_ref, win, sem, *, taps, s: int, a0: int,
     for p in range(s):
         dma(slot, gi, p).wait()
 
-    if in_bf16:
-        planes = [win[slot, p].astype(jnp.float32) for p in range(s)]
-        plane_rows = lambda p, off: planes[p][off:off + TILE_H, :]  # noqa: E731
-    else:
-        plane_rows = lambda p, off: win[slot, p, off:off + TILE_H, :]  # noqa: E731
+    # plane slice, widened AFTER the column slice so bf16 windows never
+    # materialize full-width f32 temporaries (s full-width widened planes
+    # alone are 8 MB at 8K — the round-4 scoped-VMEM OOM)
+    def plane_rows(p, off, csl):
+        t = win[slot, p, off:off + TILE_H, csl]
+        return t.astype(jnp.float32) if in_bf16 else t
 
-    # vertical combined filter: tap j reads TILE_H contiguous rows of its
-    # phase plane — all slices are (TILE_H, wp), nothing strided
-    v = None
-    for j in range(nt):
-        p, off = offs[j]
-        t = plane_rows(p, off) * jnp.float32(taps[j])
-        v = t if v is None else v + t
-    # dense horizontal pass; the s-strided column select is an XLA slice
-    o = None
-    for j in range(nt):
-        t = v[:, j:j + wp - nt + 1] * jnp.float32(taps[j])
-        o = t if o is None else o + t
-    o_ref[0, :, :wp - nt + 1] = o
-    o_ref[0, :, wp - nt + 1:] = jnp.zeros((TILE_H, nt - 1), jnp.float32)
+    # width-chunked like pallas/gauss.py: bounded unrolled-tap temps
+    out_w = wp - nt + 1
+    XCHUNK = min(out_w, 1024)
+    for x0 in range(0, out_w, XCHUNK):
+        cw = min(XCHUNK, out_w - x0)
+        csl = slice(x0, x0 + cw + nt - 1)
+        # vertical combined filter: tap j reads TILE_H contiguous rows of
+        # its phase plane — all slices are (TILE_H, cw + nt - 1)
+        v = None
+        for j in range(nt):
+            p, off = offs[j]
+            t = plane_rows(p, off, csl) * jnp.float32(taps[j])
+            v = t if v is None else v + t
+        # dense horizontal pass; the s-strided column select is an XLA
+        # slice on the kernel output
+        o = None
+        for j in range(nt):
+            t = v[:, j:j + cw] * jnp.float32(taps[j])
+            o = t if o is None else o + t
+        o_ref[0, :, x0:x0 + cw] = o
+    o_ref[0, :, out_w:] = jnp.zeros((TILE_H, nt - 1), jnp.float32)
 
 
 @functools.lru_cache(maxsize=64)
@@ -130,11 +138,45 @@ def _build(batch: int, hr: int, wp: int, out_h_p: int,
     )
 
 
-def supported(h: int, w: int, out_h: int, out_w: int, s: int) -> bool:
+# Scoped-VMEM gate for very wide frames.  With the in-kernel compute
+# width-chunked (XCHUNK, bounded unrolled-tap temporaries), the scoped
+# budget is dominated by the double-buffered window DMA scratch
+# (2, s, win_rows, Wp) — width-proportional — plus the output
+# double-buffer and ~2.5 MB of chunk temporaries.  The 8K s=8 level fits
+# in BOTH staging dtypes (verified compiling + running on v5e, round 4:
+# bf16 ~11.5 MB, f32 ~15.5 MB estimated vs the 16 MB limit); beyond-8K
+# widths where the estimate overflows fall back to gauss + resize (the
+# gauss kernel's window is s-independent, so it keeps fitting).
+_VMEM_LIMIT = 15 * 2 ** 20
+_CHUNK_TEMPS = int(2.5 * 2 ** 20)
+
+
+def _vmem_estimate(w: int, s: int, ksize: int, bf16: bool) -> int:
+    r = (ksize - 1) // 2
+    nt = 2 * r + 2
+    pad_edge = r + 1
+    wp = _ceil(w + 2 * pad_edge, 128)
+    first = s // 2
+    a_vals = [(first + j) // s for j in range(nt)]
+    a0 = (min(a_vals) // 16) * 16 if bf16 else (min(a_vals) // 8) * 8
+    win_rows = _ceil((max(a_vals) - a0) + TILE_H, 16 if bf16 else 8)
+    scratch = 2 * s * win_rows * wp * (2 if bf16 else 4)
+    out = 2 * TILE_H * wp * 4
+    return scratch + out + _CHUNK_TEMPS
+
+
+def supported(h: int, w: int, out_h: int, out_w: int, s: int,
+              ksize: int = 19, bf16: bool = False) -> bool:
     """Fast path applies when the level dims divide the full dims exactly
-    by s = 2^k (then the bilinear fractions are exactly 0.5)."""
+    by s = 2^k (then the bilinear fractions are exactly 0.5) AND the
+    width-proportional window scratch fits the 16 MB scoped-VMEM budget
+    (covers up to 8K width at every production level; wider falls back
+    to gauss + resize).  ksize/bf16 let the caller pass the actual tap
+    count and staging dtype; the defaults are the most conservative
+    values the production pyramid uses."""
     return (s >= 2 and h == s * out_h and w == s * out_w
-            and min(out_h, out_w) >= 8)
+            and min(out_h, out_w) >= 8
+            and _vmem_estimate(w, s, ksize, bf16) <= _VMEM_LIMIT)
 
 
 def gaussian_blur_resize_pallas(img, kernel_taps, s: int,

@@ -132,13 +132,17 @@ def consume_tier_stats() -> dict:
 FAST_UNIFORM = True
 
 # Split non-uniform branch (see _update_kernel.split_passes): a band that
-# fails the uniformity pre-sweep (e.g. it straddles a motion boundary) no
-# longer pays the statically-unrolled V_MAX x T_MAX block on EVERY subtile
-# — it runs the vmax=1 quick fill everywhere and a per-subtile-GATED fori
-# pass only where pixels remain (on real content 1-2 boundary subtiles of
-# ~15).  Output is bitwise-identical: a pixel's fetched value does not
-# depend on which pass covers it.  Flag exists for the A/B harness.
-SPLIT_NONUNIFORM = True
+# fails the uniformity pre-sweep (e.g. it straddles a motion boundary)
+# runs the vmax=1 quick fill everywhere and a per-subtile-GATED fori pass
+# only where pixels remain.  Output is bitwise-identical to the unrolled
+# branch, but it is OFF: the on-device A/B (v5e, 1080p B=16) measured it
+# a large net LOSS on both configs — smooth 122.7 -> 75.2 pairs/s,
+# motion-boundary 85.9 -> 66.2 — i.e. merely *containing* the gated
+# V2_MAX fori in pass 1 wrecks Mosaic's scheduling of the uniform arm
+# too (the branch never even fires on smooth content).  Kept for the A/B
+# harness (benchmarks/exp_update_variants.py) so the result stays
+# reproducible; see docs/KERNELS.md "failed experiments".
+SPLIT_NONUNIFORM = False
 
 
 def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,

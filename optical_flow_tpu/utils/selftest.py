@@ -189,18 +189,22 @@ def _cases(quick: bool = False) -> List[Dict]:
         fused_case(64, 512, flow_mod=_spill_f))
 
     # --- gauss: pyramid smoothing (REFLECT_101) ---
-    def gauss_case(ks, sigma):
+    def gauss_case(ks, sigma, H=50, W=200, B=2):
         def run():
             from optical_flow_tpu.pallas.gauss import gaussian_blur_pallas
             rng = np.random.default_rng(0)
             img = jnp.asarray(
-                rng.uniform(0, 255, (2, 50, 200)).astype(np.float32))
+                rng.uniform(0, 255, (B, H, W)).astype(np.float32))
             taps = gaussian_kernel(ks, sigma)
             return (gaussian_blur_pallas(img, taps),
                     core.gaussian_blur_reflect101(img, taps))
         return run
 
     add("gauss/ks9", 1e-3, 1e-5, gauss_case(9, 1.5), in_quick=True)
+    # 8K-wide ks19: exercises the round-4 in-kernel width chunking
+    # (unrolled-tap temporaries bounded at XCHUNK columns)
+    add("gauss/chunked_8k_ks19_48x7680", 1e-3, 1e-5,
+        gauss_case(19, 3.5, H=48, W=7680, B=1))
 
     # --- gauss_resize: fused smooth+downsample (pyramid builder) ---
     def gresize_case(H, W, s, ks, sigma):
@@ -222,6 +226,10 @@ def _cases(quick: bool = False) -> List[Dict]:
     add("gauss_resize/64x256_s2", 1e-3, 1e-5, gresize_case(64, 256, 2, 3, 0.5))
     add("gauss_resize/unaligned_48x136_s2", 1e-3, 1e-5,
         gresize_case(48, 136, 2, 3, 0.5), in_quick=True)
+    # 8K-wide s=8 production level (ks19/sigma3.5 per build_plan): the
+    # width-proportional window scratch + round-4 width-chunked compute
+    add("gauss_resize/chunked_8k_64x7680_s8", 1e-3, 1e-5,
+        gresize_case(64, 7680, 8, 19, 3.5))
 
     # --- polyexp: separable 11-tap quadratic fit ---
     def poly_case(H, W):
@@ -288,6 +296,10 @@ def _cases(quick: bool = False) -> List[Dict]:
 
     add("gauss_resize/bf16_bitwise_128x256_s4", 0.0, 0.0,
         gresize_bf16_case(128, 256, 4, 9, 1.5))
+    # 8K bf16 staging window: the smaller a0 rounding (16-row granules)
+    # plus the widened-after-column-slice chunk temporaries
+    add("gauss_resize/bf16_bitwise_8k_64x7680_s8", 0.0, 0.0,
+        gresize_bf16_case(64, 7680, 8, 19, 3.5))
 
     return cases
 

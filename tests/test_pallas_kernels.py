@@ -389,6 +389,24 @@ class TestGaussResizeKernel:
         assert not supported(135, 240, 67, 120, 2)   # odd height
         assert not supported(64, 256, 64, 256, 1)    # s == 1
 
+    def test_vmem_gate(self):
+        """The (2, s, win_rows, Wp) window scratch is width-proportional.
+        With the in-kernel compute width-chunked, every production level
+        up to 8K width fits the 16 MB scoped-VMEM budget (verified
+        compiling + running on v5e, round 4); beyond-8K s=8 levels must
+        fall back to gauss + resize."""
+        from optical_flow_tpu.pallas.gauss_resize import supported
+        # every 8K/4K/1080p production level keeps the fused path
+        assert supported(4320, 7680, 540, 960, 8, ksize=19, bf16=True)
+        assert supported(4320, 7680, 540, 960, 8, ksize=19, bf16=False)
+        assert supported(4320, 7680, 1080, 1920, 4, ksize=9, bf16=True)
+        assert supported(4320, 7680, 2160, 3840, 2, ksize=3, bf16=True)
+        assert supported(2160, 3840, 270, 480, 8, ksize=19, bf16=True)
+        assert supported(1080, 1920, 135, 240, 8, ksize=19, bf16=False)
+        # 12K-wide s=8 overflows the window scratch -> fallback
+        assert not supported(6480, 11520, 810, 1440, 8, ksize=19,
+                             bf16=False)
+
 
 class TestColorizeKernel:
     def _check(self, flow_np):
