@@ -66,14 +66,19 @@ def main():
     from optical_flow_tpu.pallas import gauss_resize as gr
 
     for conf in args.configs.split(","):
+        # builder/tile[/gaussbuilder][/sN][/u8] — e.g. zdus/32/s3/u8
         parts = conf.split("/")
         builder, tile = parts[0], parts[1]
         pe.PAD_BUILDER = builder
         pe.TILE_H = int(tile)
+        pe.N_SLOTS = 2
+        for p in parts[2:]:
+            if p in ("zdus", "legacy"):
+                ga.PAD_BUILDER = gr.PAD_BUILDER = p
+            elif p.startswith("s") and p[1:].isdigit():
+                pe.N_SLOTS = int(p[1:])
         pe._build.cache_clear()
-        if len(parts) > 2:
-            ga.PAD_BUILDER = gr.PAD_BUILDER = parts[2]
-        input_u8 = len(parts) > 3 and parts[3] == "u8"
+        input_u8 = "u8" in parts
 
         @jax.jit
         def fn(p, n):

@@ -7,14 +7,19 @@ sync methodology (scalar host read; block_until_ready does not block on
 tunneled transports).  Also asserts the two modes agree bitwise — the
 fast path must be a pure re-scheduling of identical work.
 
-Modes (each a (FAST_UNIFORM, SPLIT_NONUNIFORM) setting):
-  base  — both off (round-2 structure)
+Modes (each a (FAST_UNIFORM, SPLIT_NONUNIFORM, V_MAX) setting):
+  base  — fast/split off (round-2 structure)
   fast  — band-uniform fast path, non-uniform bands pay the full
-          statically-unrolled V_MAX block (round-3 structure)
+          statically-unrolled V_MAX=4 block (round-3/4 production)
   split — fast path + split non-uniform branch (quick vmax=1 fill +
-          per-subtile-gated fori; round-4 structure, on by default)
+          per-subtile-gated fori; measured a net loss round 4, OFF)
+  v2    — fast path + V_MAX=2 in the non-uniform arm: halves the
+          unrolled pass-1 block; spread-3+ subtiles (the seam) go to
+          the pass-2 window they already take on boundary content.
+          Still bitwise (every tier computes the exact same fetch;
+          only which tier covers a pixel changes) — asserted below.
 
-Usage: python benchmarks/exp_update_variants.py [--modes fast,split]
+Usage: python benchmarks/exp_update_variants.py [--modes fast,v2]
 Prints one JSON object.
 """
 
@@ -82,8 +87,13 @@ def main():
     results = {}
     flows = {}
     for mode in args.modes.split(","):
-        ug.FAST_UNIFORM = mode in ("fast", "split")
+        ug.FAST_UNIFORM = mode in ("fast", "split", "v2")
         ug.SPLIT_NONUNIFORM = (mode == "split")
+        ug.V_MAX = 2 if mode == "v2" else 4
+        # V_MAX is not an lru key of the kernel builders (unlike
+        # fast/split) — drop the built kernels so the new value traces
+        ug._build.cache_clear()
+        ug._build_chunked.cache_clear()
         flowmod._jitted_batched.cache_clear()
         r = {}
         t0 = time.perf_counter()

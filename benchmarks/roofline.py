@@ -48,9 +48,19 @@ def _sync(x):
 
 
 def timed(fn, args, n_inflight=5, trials=3):
-    """Median seconds per dispatch of `fn(*args)` with the honest sync."""
+    """Median seconds per dispatch of `fn(*args)` with the honest sync.
+
+    In-flight depth is capped so the concurrently-live outputs stay
+    under ~2.5 GB (the 32-frame L0 polyexp output is ~1.3 GB; five in
+    flight exhausted HBM on the first round-4 run).  The per-program
+    floor here is 7-9 ms and every capped stage is >=15 ms, so depth 2
+    still amortizes dispatch."""
+    import jax
     out = fn(*args)
     _sync(out)
+    out_bytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(out))
+    n_inflight = max(2, min(n_inflight, int(2.5e9 // max(out_bytes, 1))))
+    del out
     for _ in range(2):
         _sync(fn(*args))
     ts = []
@@ -59,6 +69,7 @@ def timed(fn, args, n_inflight=5, trials=3):
         outs = [fn(*args) for _ in range(n_inflight)]
         _sync(outs[-1])
         ts.append((time.perf_counter() - t0) / n_inflight)
+        del outs
     return float(sorted(ts)[trials // 2])
 
 
@@ -91,9 +102,15 @@ def main():
     rng = np.random.default_rng(0)
     f1, f2 = smooth_texture_pair(h, w, (2, 3))
 
+    # measure the per-program dispatch floor with a trivial jitted
+    # program; every stage below is also wrapped in jax.jit so it is ONE
+    # program (eager pallas wrappers dispatch their restride/pad/slice
+    # ops separately, each paying this floor — the first round-4 run
+    # measured 36-55 ms for stages whose in-pipeline cost is <20 ms).
+    tiny = jax.device_put(np.zeros((8, 128), np.float32))
+    floor = timed(jax.jit(lambda x: x + 1.0), (tiny,))
     res = {"height": h, "width": w, "batch": B,
-           "per_program_floor_ms": "7-9 (transport; GB/s for short stages "
-                                   "is a lower bound)"}
+           "per_program_floor_ms": round(floor * 1e3, 2)}
     stages = []
 
     # ---- whole pipeline (the reference point) --------------------------
@@ -114,8 +131,9 @@ def main():
         if s > 1:
             both_u8 = jax.device_put(
                 rng.integers(0, 256, (nf, h, w), dtype=np.uint8))
-            t = timed(lambda x, kk=kern, ss=s: gaussian_blur_resize_pallas(
-                x, kk, ss, exact_u8=True), (both_u8,))
+            t = timed(jax.jit(lambda x, kk=kern, ss=s:
+                              gaussian_blur_resize_pallas(
+                                  x, kk, ss, exact_u8=True)), (both_u8,))
             # bytes: u8 read + bf16 phase-major write (restride copy),
             # bf16 window reads with (win_rows/8)x row-halo overfetch per
             # phase, f32 level write
@@ -130,8 +148,8 @@ def main():
         if s > 1:
             img = jax.device_put(rng.uniform(
                 0, 255, (nf, Hl, Wl)).astype(np.float32))
-            t = timed(lambda x: poly_exp_pallas(x, cfg.poly_n,
-                                                cfg.poly_sigma), (img,))
+            t = timed(jax.jit(lambda x: poly_exp_pallas(
+                x, cfg.poly_n, cfg.poly_sigma)), (img,))
             band, halo = (32, 2 * (cfg.poly_n // 2)) if Wp <= 2304 \
                 else (16, 2 * (cfg.poly_n // 2))
             of = (band + halo + 8) / band   # window + 8-align slack
@@ -146,9 +164,9 @@ def main():
             img = jax.device_put(
                 rng.integers(0, 256, (nf, Hl, Wl), dtype=np.uint8))
             taps = tuple(float(t_) for t_ in kern)
-            t = timed(lambda x: poly_exp_pallas(
+            t = timed(jax.jit(lambda x: poly_exp_pallas(
                 x, cfg.poly_n, cfg.poly_sigma, pre_taps=taps,
-                exact_u8=True), (img,))
+                exact_u8=True)), (img,))
             band = 32 if Wp <= 2304 else 16
             halo = 2 * (cfg.poly_n // 2) + 2     # + pre-smooth taps
             of = (band + halo + 8) / band
@@ -193,11 +211,14 @@ def main():
         stages.append(("iterate_per_iter_L%d" % lv.k, t_it, nbytes,
                        "update(R0+2xR1win+flow+sc -> M+viol) + "
                        "blur(2xM -> flow) + viol reduce, store layout"))
+        # free this level's device arrays before the next (bigger) level
+        # allocates — leftovers plus in-flight outputs exhausted HBM
+        del img, R0, R1, fl
 
     # ---- colorize (visualizer only) -------------------------------------
     fl = jax.device_put(rng.standard_normal(
         (B, 2, h, w)).astype(np.float32) * 3)
-    t = timed(flow_to_bgr_planar_pallas, (fl,))
+    t = timed(jax.jit(flow_to_bgr_planar_pallas), (fl,))
     nbytes = B * h * w * (2 * 4 + 3)
     stages.append(("colorize", t, nbytes, "2ch f32 read + 3ch u8 write"))
 

@@ -58,6 +58,13 @@ FUSE_PRE_SMOOTH = True
 #   "legacy" — jnp.pad(mode='edge') / concatenate (kept for A/B)
 PAD_BUILDER = "zdus"
 
+# Window-DMA pipeline depth (in-flight band windows).  The round-3
+# split profiler found the DMA-plus-store skeleton alone costs 9.6 of
+# 17 ms at 1080p B=16 — per-band latency, not bandwidth — so prefetching
+# more than one band ahead is the lever.  Module-global for the A/B
+# harness (benchmarks/exp_polyexp_prod.py, configs like zdus/32/s3/u8).
+N_SLOTS = 2
+
 
 def _ceil(a: int, m: int) -> int:
     return ((a + m - 1) // m) * m
@@ -65,7 +72,7 @@ def _ceil(a: int, m: int) -> int:
 
 def _kernel_fused(ip_hbm, aux_ref, r_ref, win, sem, *, n: int, pad: int,
                   wp: int, out_w: int, n_bands: int, tile_h: int, g,
-                  xg, xxg, ig11, ig03, ig33, ig55, pre=None,
+                  xg, xxg, ig11, ig03, ig33, ig55, ns: int = 2, pre=None,
                   h_real: int = 0, w_real: int = 0, in_bf16: bool = False):
     """ig-folded variant: the five outputs are separable correlations with
     COMBINED weights, so the inverse-Gram scalars vanish into the taps —
@@ -99,16 +106,18 @@ def _kernel_fused(ip_hbm, aux_ref, r_ref, win, sem, *, n: int, pad: int,
             ip_hbm.at[b, pl.ds(i * tile_h, rows), :], win.at[slot],
             sem.at[slot])
 
-    slot = jax.lax.rem(gi, 2)
-    nslot = jax.lax.rem(gi + 1, 2)
+    slot = jax.lax.rem(gi, ns)
 
     @pl.when(gi == 0)
     def _():
-        dma(slot, gi).start()
+        # fill the pipeline: steps 0..ns-2 (step gi+ns-1 comes from the
+        # every-step start below, so ns windows are in flight steady-state)
+        for k in range(min(ns - 1, n_total)):
+            dma(k, k).start()
 
-    @pl.when(gi + 1 < n_total)
+    @pl.when(gi + ns - 1 < n_total)
     def _():
-        dma(nslot, gi + 1).start()
+        dma(jax.lax.rem(gi + ns - 1, ns), gi + ns - 1).start()
 
     dma(slot, gi).wait()
 
@@ -185,7 +194,7 @@ def _kernel_fused(ip_hbm, aux_ref, r_ref, win, sem, *, n: int, pad: int,
 
 def _kernel(ip_hbm, r_ref, win, sem, *, n: int, pad: int, wp: int,
             out_w: int, n_bands: int, tile_h: int, g, xg, xxg, ig11,
-            ig03, ig33, ig55):
+            ig03, ig33, ig55, ns: int = 2):
     gi = pl.program_id(0)
     n_total = pl.num_programs(0)
     rows = 2 * pad + tile_h
@@ -197,16 +206,18 @@ def _kernel(ip_hbm, r_ref, win, sem, *, n: int, pad: int, wp: int,
             ip_hbm.at[b, pl.ds(i * tile_h, rows), :], win.at[slot],
             sem.at[slot])
 
-    slot = jax.lax.rem(gi, 2)
-    nslot = jax.lax.rem(gi + 1, 2)
+    slot = jax.lax.rem(gi, ns)
 
     @pl.when(gi == 0)
     def _():
-        dma(slot, gi).start()
+        # fill the pipeline: steps 0..ns-2 (step gi+ns-1 comes from the
+        # every-step start below, so ns windows are in flight steady-state)
+        for k in range(min(ns - 1, n_total)):
+            dma(k, k).start()
 
-    @pl.when(gi + 1 < n_total)
+    @pl.when(gi + ns - 1 < n_total)
     def _():
-        dma(nslot, gi + 1).start()
+        dma(jax.lax.rem(gi + ns - 1, ns), gi + ns - 1).start()
 
     dma(slot, gi).wait()
 
@@ -271,12 +282,13 @@ def _build(batch: int, h: int, w: int, poly_n: int, poly_sigma: float,
     out_w = wp - 2 * pad
     rows = 2 * pad + tile_h
     n_bands = hp // tile_h
+    ns = N_SLOTS
 
     def omap(gi):
         return (gi // n_bands, 0, gi % n_bands, 0)
 
     common = dict(n=poly_n, pad=pad, wp=wp, out_w=out_w, n_bands=n_bands,
-                  tile_h=tile_h,
+                  tile_h=tile_h, ns=ns,
                   g=tuple(float(x) for x in g),
                   xg=tuple(float(x) for x in xg),
                   xxg=tuple(float(x) for x in xxg),
@@ -308,9 +320,9 @@ def _build(batch: int, h: int, w: int, poly_n: int, poly_sigma: float,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((batch, 5, hp, out_w), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, rows, wp),
+            pltpu.VMEM((ns, rows, wp),
                        jnp.bfloat16 if in_bf16 else jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((ns,)),
         ],
     )
     return kernel, pad, hp, wp

@@ -67,7 +67,10 @@ class TestUpdateGatherKernel:
             flow[:, 0, 10:14, 30:60] = 500.0   # leaves the image entirely
         self._check(64, 512, mod)
 
+    @pytest.mark.slow
     def test_window_violation_correction(self):
+        # slow: test_tier_counters_fire runs this exact spilled config in
+        # the default suite (plus the counter contract)
         def mod(flow):
             flow[:, 1, 30:32, 100:160] = 45.0  # escapes the 32-row window
         self._check(64, 512, mod)
@@ -143,7 +146,10 @@ class TestUpdateGatherChunked:
             ug.MAX_WP, ug.XCHUNK_TARGET = orig_maxwp, orig_tgt
             ug._build_chunked.cache_clear()
 
+    @pytest.mark.slow
     def test_smooth_flow_multichunk(self):
+        # slow: test_unaligned_width covers the same multi-chunk grid
+        # plus the pad path in the default suite
         self._check_chunked(40, 800)           # n_x=4, cw=256
 
     def test_unaligned_width(self):
@@ -423,7 +429,10 @@ class TestColorizeKernel:
         assert diff.max() <= 1
         assert (diff > 0).mean() <= 1e-3
 
+    @pytest.mark.slow
     def test_random_flow_byte_exact(self):
+        # slow: test_unaligned_shape keeps random-flow byte-exactness in
+        # the default suite on an unaligned shape
         rng = np.random.default_rng(0)
         self._check(rng.standard_normal((2, 2, 40, 130)).astype(np.float32)
                     * 10)
