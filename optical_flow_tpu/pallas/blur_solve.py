@@ -95,15 +95,20 @@ def _box_h(arr, out_cols, *, m, pad, taps, fac):
 
 
 def _blur_solve_body(window, flow_ref, *, m, pad, out_w, col0, inv_area,
-                     taps, fac, out_rows=TILE_H):
-    """Shared band body: window (5, rows, >=out_w+2*pad) -> flow band
-    written at column offset col0 (chunked so temporaries fit VMEM)."""
+                     taps, fac, out_rows=TILE_H, row0=0):
+    """Shared band body: window (5, >=row0+out_rows+2*pad, >=out_w+2*pad)
+    -> flow band written at column offset col0 (chunked so temporaries
+    fit VMEM).  row0: first window row of the band (nonzero when the
+    window is a taller persistent ring, e.g. the fused update+blur
+    kernel's M ring in pallas/update_gather.py)."""
+    rows = out_rows + 2 * pad
     XCHUNK = min(out_w, 1024)
     for x0 in range(0, out_w, XCHUNK):
         cw = min(XCHUNK, out_w - x0)
         outs = []
         for c in range(5):
-            wc = window[c, :, x0: x0 + cw + 2 * pad]   # (rows, cw+2pad)
+            wc = window[c, row0: row0 + rows,
+                        x0: x0 + cw + 2 * pad]         # (rows, cw+2pad)
             v = _box_v(wc, out_rows, m=m, pad=pad, taps=taps, fac=fac)
             hsum = _box_h(v, cw, m=m, pad=pad, taps=taps, fac=fac)
             outs.append(hsum * jnp.float32(inv_area))

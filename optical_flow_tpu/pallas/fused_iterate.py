@@ -41,13 +41,27 @@ from optical_flow_tpu.pallas.blur_solve import _PAD_S, blur_solve_store
 from optical_flow_tpu.pallas.update_gather import (
     COL_OFF,
     ROW_OFF,
+    fused_blur_supported,
+    fused_update_blur_store,
     supported_shape,
+    tier_flags,
     update_matrices_store,
 )
 
 
 def _ceil(a: int, m: int) -> int:
     return ((a + m - 1) // m) * m
+
+
+# Fully-fused update+blur+solve step (update_gather.fused_update_blur_store):
+# M stays in a VMEM ring instead of round-tripping HBM — a ~40% byte cut
+# on an iterate that the round-4 roofline measured at 84% of the DMA
+# ceiling.  Frames whose update spills (tier 2/3) are recomputed through
+# the exact two-kernel path via lax.cond (untaken conds are free
+# in-pipeline; the bench configs measure tier fires 0/0), so flow output
+# and tier semantics stay bit-identical.  Module-global for the A/B
+# harness (benchmarks/exp_fused_blur.py).
+FUSE_UPDATE_BLUR = True
 
 
 def supported(h: int, w: int, winsize: int) -> bool:
@@ -74,13 +88,28 @@ def update_flow_fused(R0, R1, flow, winsize: int, iterations: int,
     flowp = jnp.pad(flow, pad)
     scp = border_scale_field_traced(h, w, Hs, Ws, ROW_OFF, COL_OFF)
 
-    # scan, not a Python loop: the iteration body (the two Mosaic kernels)
+    # scan, not a Python loop: the iteration body (the Mosaic kernels)
     # is compiled ONCE per level instead of `iterations` times — XLA does
     # not CSE identical pallas custom-calls, and the update kernel is the
     # most expensive Mosaic compile in the pipeline (~12 s at 1080p).
-    def body(fl, _):
-        Mst, tiers = update_matrices_store(R0p, R1p, fl, scp, h, w)
-        return blur_solve_store(Mst, winsize, gaussian), tiers
+    if FUSE_UPDATE_BLUR and fused_blur_supported(h, w, winsize):
+        def body(fl, _):
+            flp, nvp = fused_update_blur_store(R0p, R1p, fl, scp, h, w,
+                                               winsize, gaussian)
+
+            def slow(fl_in):
+                # exact recompute: the fused blur consumed M before the
+                # spill correction could run (rare; free when untaken)
+                Mst, _t = update_matrices_store(R0p, R1p, fl_in, scp, h, w)
+                return blur_solve_store(Mst, winsize, gaussian)
+
+            fl_next = jax.lax.cond(jnp.sum(nvp) > 0, slow,
+                                   lambda _fl: flp, fl)
+            return fl_next, tier_flags(nvp)
+    else:
+        def body(fl, _):
+            Mst, tiers = update_matrices_store(R0p, R1p, fl, scp, h, w)
+            return blur_solve_store(Mst, winsize, gaussian), tiers
 
     flowp, tiers = jax.lax.scan(body, flowp, None, length=iterations)
     return (flowp[:, :, ROW_OFF:ROW_OFF + h, COL_OFF:COL_OFF + w],

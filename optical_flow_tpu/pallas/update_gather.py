@@ -150,7 +150,7 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
                    h_real: int, w_real: int, n_bands: int, n_slots: int,
                    row_off: int = 0, col_off: int = 0,
                    tile_h: int = TILE_H, fast: bool = True,
-                   split: bool = True):
+                   split: bool = True, blur=None, mbuf=None):
     """Grid: (B * H/TILE_H,) row bands.  Each step processes an (TILE_H, W)
     band of one batch element: one dynamic-window DMA (5, WIN_H, W)
     anchored at the band's minimum fetched row (precomputed at XLA level
@@ -450,8 +450,15 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
             jnp.where(left, v[:, col_off:col_off + 1],
                       jnp.where(right, v[:, col_off + W - 1:col_off + W], v))
             for v in mvals)
-    for c in range(5):
-        m_ref[0, c] = mvals[c]
+    if blur is None:
+        for c in range(5):
+            m_ref[0, c] = mvals[c]
+    else:
+        # fused blur+solve (software-pipelined): M never reaches HBM —
+        # see _fused_blur_emit.  m_ref is the FLOW output here.
+        _fused_blur_emit(m_ref, mbuf, mvals, i, n_bands=n_bands,
+                         tile_h=tile_h, Wp=Wp, h_img=H, row_off=row_off,
+                         **blur)
 
 
 @functools.lru_cache(maxsize=64)
@@ -505,6 +512,222 @@ def _build(batch: int, h: int, w: int, h_real: int, w_real: int,
         ],
     )
     return kernel
+
+
+# ---------------------------------------------------------------------------
+# Fused update + blur + solve (software-pipelined M ring)
+#
+# Per iteration the two-kernel store loop moves M (5 ch f32) to HBM and
+# back with a 2x read halo — 15 of its 37 analytic byte-units at L0
+# (docs/KERNELS.md roofline), on a kernel already running at 84% of the
+# DMA ceiling.  TPU grid steps execute sequentially on a core and scratch
+# persists across steps, so the M round-trip can be deleted outright:
+# step i computes M band i into a persistent 3-band VMEM ring and emits
+# the blurred/solved FLOW for band i-1, whose (2*_PAD_S + tile_h)-row
+# window is then fully resident — no overcompute, no halo refetch.  The
+# flow out_spec maps step i to band (i-1) % n_bands: step 0 writes the
+# last (pure-halo, zero) band, steps 1..n-1 write bands 0..n-2, so every
+# band is written exactly once per frame.  The store layout's replicate
+# M row halos (XLA-level 8-row copies in update_matrices_store) become
+# in-kernel ring patches at STATIC band indices (h is static).
+#
+# Exactness: the in-kernel tiers (pass 1 + gated pass 2) are unchanged;
+# the violation mask still comes out.  Because the blur consumes M
+# before the XLA correction could fix it, any frame with spills must be
+# recomputed via the exact two-kernel path — the caller lax.conds on the
+# spill count (untaken conds are free in-pipeline; the bench configs
+# measure tier2/tier3 = 0/0, so the fallback replay is off the hot path
+# and tier semantics are bit-identical).
+
+
+def _fused_blur_emit(fl_ref, mbuf, mvals, i, *, n_bands, tile_h, Wp,
+                     h_img, row_off, m, taps, inv_area, fac):
+    from optical_flow_tpu.pallas.blur_solve import _blur_solve_body
+    PAD = COL_OFF                       # == blur_solve._PAD_S
+    # 1. shift the ring up one band, append this band's M
+    for c in range(5):
+        rolled = mbuf[c, tile_h:3 * tile_h, :]
+        mbuf[c, 0:2 * tile_h, :] = rolled
+        mbuf[c, 2 * tile_h:3 * tile_h, :] = mvals[c]
+
+    # 2. replicate M row-halo patches (the store layout's 8-row top and
+    # bottom fixes, update_matrices_store:1097-1100).  Top: store rows
+    # [row_off-8, row_off) <- image row 0 = this band's row 0 at i == 1
+    # (row_off == tile_h, asserted in the build); band 0 sits at ring
+    # rows [tile_h, 2*tile_h) post-shift, its last 8 rows are the halo.
+    @pl.when(i == 1)
+    def _():
+        for c in range(5):
+            mbuf[c, 2 * tile_h - 8:2 * tile_h, :] = jnp.broadcast_to(
+                mvals[c][0:1], (8, Wp))
+
+    # Bottom: store rows (rb, rb+8] <- row rb (the last image row); they
+    # span this band (n1 rows, patched from mvals at i == i_b) and
+    # possibly the next (n2 = 8-n1 rows, patched from the ring one step
+    # later, when band i_b sits at ring rows [tile_h, 2*tile_h)).  Rows
+    # beyond rb+8 stay 0 (sc == 0 there), matching the XLA fix exactly.
+    rb = row_off + h_img - 1
+    i_b, rb_l = rb // tile_h, rb % tile_h
+    n1 = min(8, tile_h - 1 - rb_l)
+    if n1 > 0:
+        @pl.when(i == i_b)
+        def _():
+            for c in range(5):
+                mbuf[c, 2 * tile_h + rb_l + 1:
+                     2 * tile_h + rb_l + 1 + n1, :] = jnp.broadcast_to(
+                    mvals[c][rb_l:rb_l + 1], (n1, Wp))
+    n2 = 8 - n1
+    if n2 > 0:
+        @pl.when(i == i_b + 1)
+        def _():
+            for c in range(5):
+                src = mbuf[c, tile_h + rb_l:tile_h + rb_l + 1, :]
+                mbuf[c, 2 * tile_h:2 * tile_h + n2, :] = jnp.broadcast_to(
+                    src, (n2, Wp))
+
+    # 3. emit flow band i-1 (blur_solve_store semantics: bands 0 and
+    # n_bands-1 are pure halo -> zeros; written at i == 1 and i == 0)
+    @pl.when(i < 2)
+    def _():
+        fl_ref[0, 0] = jnp.zeros((tile_h, Wp), jnp.float32)
+        fl_ref[0, 1] = jnp.zeros((tile_h, Wp), jnp.float32)
+
+    @pl.when(i >= 2)
+    def _():
+        fl_ref[0, 0, :, :PAD] = jnp.zeros((tile_h, PAD), jnp.float32)
+        fl_ref[0, 1, :, :PAD] = jnp.zeros((tile_h, PAD), jnp.float32)
+        fl_ref[0, 0, :, Wp - PAD:] = jnp.zeros((tile_h, PAD), jnp.float32)
+        fl_ref[0, 1, :, Wp - PAD:] = jnp.zeros((tile_h, PAD), jnp.float32)
+        # band i-1's window = ring rows [tile_h-8, 2*tile_h+8): the last
+        # 8 rows of band i-2, all of band i-1, the first 8 of band i
+        _blur_solve_body(mbuf, fl_ref, m=m, pad=PAD, out_w=Wp - 2 * PAD,
+                         col0=PAD, inv_area=inv_area, taps=taps, fac=fac,
+                         out_rows=tile_h, row0=tile_h - 8)
+
+
+def _update_blur_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
+                        fl_ref, viol_ref, win, win2, fbuf, mbuf, sem, sem2,
+                        **kw):
+    """Fused variant: same update machinery, the M slot is the flow
+    output and the extra mbuf scratch is the persistent M ring."""
+    _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
+                   fl_ref, viol_ref, win, win2, fbuf, sem, sem2,
+                   mbuf=mbuf, **kw)
+
+
+# VMEM gate: the fused kernel adds the (5, 3*tile_h, Ws) f32 M ring to
+# the update kernel's scratch (~12.5 MB total at Ws=2048); at 4K widths
+# (Ws=3968) the sum overflows the 16 MB scoped budget, so 4K+ keeps the
+# two-kernel store loop (it is HBM-stream-bound there anyway).
+FUSED_BLUR_WS_LIMIT = 2304
+
+
+def fused_blur_supported(h: int, w: int, winsize: int) -> bool:
+    Ws = _ceil(w + 2 * COL_OFF, TILE_W)
+    return (3 <= winsize <= 2 * COL_OFF + 1 and supported_shape(h, w)
+            and Ws <= FUSED_BLUR_WS_LIMIT)
+
+
+@functools.lru_cache(maxsize=16)
+def _build_fused_blur(batch: int, h: int, w: int, h_real: int, w_real: int,
+                      winsize: int, gaussian: bool, tile_h: int = 16,
+                      fast: bool = True, split: bool = True):
+    from optical_flow_tpu.models.farneback.core import gaussian_window_kernel
+    from optical_flow_tpu.pallas.blur_solve import _PAD_S, _factor
+    assert _PAD_S == COL_OFF and tile_h == ROW_OFF
+    m = winsize // 2
+    if gaussian:
+        taps = tuple(float(t) for t in gaussian_window_kernel(winsize))
+        inv_area, fac = 1.0, None
+    else:
+        taps = None
+        inv_area, fac = 1.0 / (winsize * winsize), _factor(winsize)
+    n_bands = h // tile_h
+
+    def bmap(gi, _anchors):
+        return (gi // n_bands, 0, gi % n_bands, 0)
+
+    def smap(gi, _anchors):      # flow: band i-1 (i == 0 -> last band)
+        return (gi // n_bands, 0, (gi % n_bands - 1) % n_bands, 0)
+
+    def scmap(gi, _anchors):
+        return (gi % n_bands, 0)
+
+    n_slots = 2 if w <= 2048 else 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(batch * n_bands,),
+        in_specs=[
+            pl.BlockSpec((1, 5, tile_h, w), bmap,
+                         memory_space=pltpu.VMEM),          # R0 band
+            pl.BlockSpec((1, 2, tile_h, w), bmap,
+                         memory_space=pltpu.VMEM),          # flow band
+            pl.BlockSpec((tile_h, w), scmap,
+                         memory_space=pltpu.VMEM),          # border scale
+            pl.BlockSpec(memory_space=pltpu.ANY),           # R1 full (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 2, tile_h, w), smap,
+                         memory_space=pltpu.VMEM),          # flow out
+            pl.BlockSpec((1, 1, tile_h, w), bmap,
+                         memory_space=pltpu.VMEM),          # violation mask
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_slots, 5, WIN_H, w), jnp.float32),
+            pltpu.VMEM((5, WIN_H, w), jnp.float32),
+            pltpu.VMEM((5, tile_h, w), jnp.float32),
+            pltpu.VMEM((5, 3 * tile_h, w), jnp.float32),    # M ring
+            pltpu.SemaphoreType.DMA((n_slots,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = pl.pallas_call(
+        functools.partial(_update_blur_kernel, h_real=h_real,
+                          w_real=w_real, n_bands=n_bands, n_slots=n_slots,
+                          row_off=ROW_OFF, col_off=COL_OFF, tile_h=tile_h,
+                          fast=fast, split=split,
+                          blur=dict(m=m, taps=taps, inv_area=inv_area,
+                                    fac=fac)),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, 2, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((batch, 1, h, w), jnp.float32),
+        ],
+    )
+    return kernel
+
+
+def fused_update_blur_store(R0p, R1p, flowp, scp, h: int, w: int,
+                            winsize: int, gaussian: bool = False):
+    """One fully-fused iterate step in the store layout: displaced-fetch
+    update + winsize box/Gaussian blur + regularized 2x2 solve in ONE
+    kernel (optflowgf.cpp runs FarnebackUpdateMatrices +
+    FarnebackUpdateFlow_Blur per iteration behind the reference's cv2
+    call, optical_flow.py:53-59).  M lives only in the kernel's VMEM
+    ring.  Returns (flow_st, n_viol_per).  flow_st is bitwise equal to
+    blur_solve_store(update_matrices_store(...)[0]) whenever
+    n_viol_per == 0; frames with spills MUST be recomputed by the caller
+    via the exact two-kernel path (the blur consumed uncorrected M) —
+    see fused_iterate.update_flow_fused."""
+    B, _, Hs, Ws = R0p.shape
+    tile_h = 16
+    n_bands = Hs // tile_h
+    cols = jnp.arange(Ws)
+    col_real = (cols >= COL_OFF) & (cols < COL_OFF + w)
+    ys_log = jnp.arange(Hs, dtype=jnp.float32)[None, :, None] - ROW_OFF
+    row_real = (ys_log >= 0) & (ys_log <= h - 1)
+    yi_st = jnp.clip(jnp.round(ys_log + flowp[:, 1]), 0, h - 1) + ROW_OFF
+    yi_st = jnp.where(row_real & col_real[None, None, :], yi_st,
+                      jnp.float32(h - 1 + ROW_OFF))
+    ymin = jnp.min(yi_st.reshape(B, n_bands, tile_h, Ws), axis=(2, 3))
+    anchors = jnp.clip((ymin.astype(jnp.int32) // 8) * 8, 0, Hs - WIN_H)
+    anchors = anchors.reshape(B * n_bands)
+    flow_st, violp = _build_fused_blur(
+        B, Hs, Ws, h, w, winsize, bool(gaussian),
+        fast=FAST_UNIFORM, split=SPLIT_NONUNIFORM)(
+            anchors, R0p, flowp, scp, R1p)
+    n_viol_per = jnp.sum(violp[:, 0] > 0.5, axis=(-2, -1))
+    return flow_st, n_viol_per
 
 
 def _update_kernel_chunked(ay_ref, ax_ref, r0_ref, flow_ref, sc_ref, r1_hbm,

@@ -55,6 +55,7 @@ def _interpret_mode():
             m._build.cache_clear()
         bs._build_store.cache_clear()
         ug._build_chunked.cache_clear()
+        ug._build_fused_blur.cache_clear()
 
     pl.pallas_call = patched
     clear()
@@ -280,6 +281,47 @@ def _cases(quick: bool = False) -> List[Dict]:
 
     add("polyexp/pre_smooth_bf16_bitwise_33x257", 0.0, 0.0,
         poly_pre_bf16_case(33, 257))
+
+    # --- fused update+blur+solve (the software-pipelined M ring): must
+    # be BITWISE equal to blur_solve_store(update_matrices_store(...))
+    # on Mosaic — same adds in the same order, M never round-trips HBM.
+    # (Interpret mode cannot guarantee this: XLA:CPU FMA contraction
+    # differs per compilation — see tests/test_pallas_kernels.py
+    # TestFusedUpdateBlur — so these cases are hardware-only signal.)
+    def fused_blur_case(H, W, B=2, ws=15, gaussian=False, seed=0):
+        def run():
+            import optical_flow_tpu.pallas.blur_solve as bs
+            import optical_flow_tpu.pallas.update_gather as ug
+            rng = np.random.default_rng(seed)
+            R0 = rng.standard_normal((B, 5, H, W)).astype(np.float32)
+            R1 = rng.standard_normal((B, 5, H, W)).astype(np.float32)
+            ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+            fl0 = np.stack([1.3 + xs / W + 0.5 * ys / H,
+                            -0.8 + ys / H])[None]
+            flow = np.broadcast_to(fl0, (B, 2, H, W)).astype(np.float32)
+            Hs = ((H + 15) // 16) * 16 + 32
+            Ws = ((W + 2 * ug.COL_OFF + 127) // 128) * 128
+            pad = [(0, 0), (0, 0), (ug.ROW_OFF, Hs - ug.ROW_OFF - H),
+                   (ug.COL_OFF, Ws - ug.COL_OFF - W)]
+            R0p = jnp.pad(jnp.asarray(R0), pad)
+            R1p = jnp.pad(jnp.asarray(R1), pad)
+            flp = jnp.pad(jnp.asarray(flow), pad)
+            scp = core.border_scale_field_traced(H, W, Hs, Ws,
+                                                 ug.ROW_OFF, ug.COL_OFF)
+            Mst, _t = ug.update_matrices_store(R0p, R1p, flp, scp, H, W)
+            ref = bs.blur_solve_store(Mst, ws, gaussian)
+            out, nvp = ug.fused_update_blur_store(R0p, R1p, flp, scp,
+                                                  H, W, ws, gaussian)
+            assert int(np.asarray(nvp).sum()) == 0
+            return out, ref
+        return run
+
+    add("fused_blur/bitwise_64x200", 0.0, 0.0, fused_blur_case(64, 200),
+        in_quick=False)
+    add("fused_blur/bitwise_split_patch_57x130", 0.0, 0.0,
+        fused_blur_case(57, 130, B=1, seed=1))
+    add("fused_blur/bitwise_gaussian_64x200", 0.0, 0.0,
+        fused_blur_case(64, 200, B=1, gaussian=True, seed=2))
 
     def gresize_bf16_case(H, W, s, ks, sigma):
         def run():
