@@ -150,7 +150,8 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
                    h_real: int, w_real: int, n_bands: int, n_slots: int,
                    row_off: int = 0, col_off: int = 0,
                    tile_h: int = TILE_H, fast: bool = True,
-                   split: bool = True, blur=None, mbuf=None):
+                   split: bool = True, blur=None, mbuf=None,
+                   viol_counts: bool = False):
     """Grid: (B * H/TILE_H,) row bands.  Each step processes an (TILE_H, W)
     band of one batch element: one dynamic-window DMA (5, WIN_H, W)
     anchored at the band's minimum fetched row (precomputed at XLA level
@@ -211,6 +212,22 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
     row_in_band = jax.lax.broadcasted_iota(jnp.int32, (tile_h, Wp), 0)
     xt = xi // TILE_W
     lane = xi % TILE_W
+
+    def emit_viol(mask=None):
+        # viol_counts: the fused update+blur path never consumes the
+        # mask (spilled frames replay the exact two-kernel path), so a
+        # per-band SMEM scalar count replaces the full f32 band — one
+        # mask write + one XLA re-read of iterate traffic deleted.  The
+        # SMEM block is (1, n_bands) (Mosaic requires full-or-128 last
+        # dims), revisited by all of a frame's steps; slot i is written
+        # exactly once per frame.
+        if viol_counts:
+            viol_ref[0, 0, i] = (jnp.float32(0.0) if mask is None
+                                 else jnp.sum(mask.astype(jnp.float32)))
+        else:
+            viol_ref[0, 0] = (jnp.zeros((tile_h, Wp), jnp.float32)
+                              if mask is None
+                              else mask.astype(jnp.float32))
 
     def fetch_pass(load, sy, active, gated=False, vmax=V_MAX,
                    sub_scalars=None):
@@ -324,12 +341,11 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
                 lambda c, v8, off: win2[c, pl.ds(v8, 16),
                                         pl.ds(off, TILE_W)],
                 sy2, spill, gated=True, vmax=V2_MAX)
-            viol_ref[0, 0] = (spill & jnp.logical_not(covered2)
-                              ).astype(jnp.float32)
+            emit_viol(spill & jnp.logical_not(covered2))
 
         @pl.when(jnp.logical_not(jnp.any(spill)))
         def _():
-            viol_ref[0, 0] = jnp.zeros((tile_h, Wp), jnp.float32)
+            emit_viol()
 
     def split_passes(sub_scalars):
         """Non-uniform band, split form (SPLIT_NONUNIFORM): quick vmax=1
@@ -362,12 +378,11 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
                 lambda c, v8, off: win2[c, pl.ds(v8, 16),
                                         pl.ds(off, TILE_W)],
                 sy2, spill, gated=True, vmax=V2_MAX)
-            viol_ref[0, 0] = (spill & jnp.logical_not(covered2)
-                              ).astype(jnp.float32)
+            emit_viol(spill & jnp.logical_not(covered2))
 
         @pl.when(jnp.logical_not(jnp.any(spill)))
         def _():
-            viol_ref[0, 0] = jnp.zeros((tile_h, Wp), jnp.float32)
+            emit_viol()
 
     if fast:
         # Band-uniformity pre-sweep: box-blurred flow is constant across
@@ -405,7 +420,7 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
         def _():
             fetch_pass(load_win1, anchors_ref[gi], inside, vmax=1,
                        sub_scalars=scalars1)
-            viol_ref[0, 0] = jnp.zeros((tile_h, Wp), jnp.float32)
+            emit_viol()
 
         @pl.when(jnp.logical_not(uniform))
         def _():
@@ -653,6 +668,9 @@ def _build_fused_blur(batch: int, h: int, w: int, h_real: int, w_real: int,
     def scmap(gi, _anchors):
         return (gi % n_bands, 0)
 
+    def vmap_(gi, _anchors):     # per-band spill counts (SMEM row)
+        return (gi // n_bands, 0, 0)
+
     n_slots = 2 if w <= 2048 else 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -669,8 +687,8 @@ def _build_fused_blur(batch: int, h: int, w: int, h_real: int, w_real: int,
         out_specs=[
             pl.BlockSpec((1, 2, tile_h, w), smap,
                          memory_space=pltpu.VMEM),          # flow out
-            pl.BlockSpec((1, 1, tile_h, w), bmap,
-                         memory_space=pltpu.VMEM),          # violation mask
+            pl.BlockSpec((1, 1, n_bands), vmap_,
+                         memory_space=pltpu.SMEM),          # spill counts
         ],
         scratch_shapes=[
             pltpu.VMEM((n_slots, 5, WIN_H, w), jnp.float32),
@@ -685,13 +703,13 @@ def _build_fused_blur(batch: int, h: int, w: int, h_real: int, w_real: int,
         functools.partial(_update_blur_kernel, h_real=h_real,
                           w_real=w_real, n_bands=n_bands, n_slots=n_slots,
                           row_off=ROW_OFF, col_off=COL_OFF, tile_h=tile_h,
-                          fast=fast, split=split,
+                          fast=fast, split=split, viol_counts=True,
                           blur=dict(m=m, taps=taps, inv_area=inv_area,
                                     fac=fac)),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((batch, 2, h, w), jnp.float32),
-            jax.ShapeDtypeStruct((batch, 1, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((batch, 1, n_bands), jnp.float32),
         ],
     )
     return kernel
@@ -704,7 +722,10 @@ def fused_update_blur_store(R0p, R1p, flowp, scp, h: int, w: int,
     kernel (optflowgf.cpp runs FarnebackUpdateMatrices +
     FarnebackUpdateFlow_Blur per iteration behind the reference's cv2
     call, optical_flow.py:53-59).  M lives only in the kernel's VMEM
-    ring.  Returns (flow_st, n_viol_per).  flow_st is bitwise equal to
+    ring, and the violation output is a per-band SMEM spill COUNT
+    rather than the mask (nothing here consumes the mask; spilled
+    frames are replayed whole).  Returns (flow_st, n_viol_per).
+    flow_st is bitwise equal to
     blur_solve_store(update_matrices_store(...)[0]) whenever
     n_viol_per == 0; frames with spills MUST be recomputed by the caller
     via the exact two-kernel path (the blur consumed uncorrected M) —
@@ -722,11 +743,12 @@ def fused_update_blur_store(R0p, R1p, flowp, scp, h: int, w: int,
     ymin = jnp.min(yi_st.reshape(B, n_bands, tile_h, Ws), axis=(2, 3))
     anchors = jnp.clip((ymin.astype(jnp.int32) // 8) * 8, 0, Hs - WIN_H)
     anchors = anchors.reshape(B * n_bands)
-    flow_st, violp = _build_fused_blur(
+    flow_st, counts = _build_fused_blur(
         B, Hs, Ws, h, w, winsize, bool(gaussian),
         fast=FAST_UNIFORM, split=SPLIT_NONUNIFORM)(
             anchors, R0p, flowp, scp, R1p)
-    n_viol_per = jnp.sum(violp[:, 0] > 0.5, axis=(-2, -1))
+    # per-band f32 counts are exact integers (<= 16*Ws < 2^24 per band)
+    n_viol_per = jnp.sum(counts, axis=(1, 2)).astype(jnp.int32)
     return flow_st, n_viol_per
 
 
