@@ -83,10 +83,8 @@ def main():
         R1p = jnp.pad(jnp.asarray(
             rng.standard_normal((1, 5, hl, wl)).astype(np.float32)), pad)
         flp = jnp.zeros((1, 2, Hs, Ws), np.float32)
-        scp = core.border_scale_field_traced(hl, wl, Hs, Ws,
-                                             ug.ROW_OFF, ug.COL_OFF)
         t0 = time.perf_counter()
-        out, nvp = ug.fused_update_blur_store(R0p, R1p, flp, scp, hl, wl, 15)
+        out, nvp = ug.fused_update_blur_store(R0p, R1p, flp, hl, wl, 15)
         _ = float(np.asarray(nvp).sum())
         results["kernel_4k_builds"] = True
         results["kernel_4k_compile_s"] = round(time.perf_counter() - t0, 1)

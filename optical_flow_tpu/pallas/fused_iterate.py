@@ -94,7 +94,7 @@ def update_flow_fused(R0, R1, flow, winsize: int, iterations: int,
     # most expensive Mosaic compile in the pipeline (~12 s at 1080p).
     if FUSE_UPDATE_BLUR and fused_blur_supported(h, w, winsize):
         def body(fl, _):
-            flp, nvp = fused_update_blur_store(R0p, R1p, fl, scp, h, w,
+            flp, nvp = fused_update_blur_store(R0p, R1p, fl, h, w,
                                                winsize, gaussian)
 
             def slow(fl_in):

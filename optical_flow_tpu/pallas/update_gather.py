@@ -38,7 +38,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from optical_flow_tpu.models.farneback.core import border_scale_field_traced
+from optical_flow_tpu.models.farneback.core import (
+    BORDER,
+    BORDER_WEIGHTS,
+    border_scale_field_traced,
+)
 
 TILE_H = 8
 TILE_W = 128
@@ -443,7 +447,28 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
     r2 = (r0[0] - jnp.where(inside, f0, 0.0)) * 0.5 + (r4 * dy + r6 * dx)
     r3 = (r0[1] - jnp.where(inside, f1, 0.0)) * 0.5 + (r6 * dy + r5 * dx)
 
-    sc = sc_ref[:]
+    if sc_ref is None:
+        # analytic in-kernel border scale: the field is a separable
+        # product of two 5-tap border ramps over the logical coords the
+        # kernel already holds (ys, xs) -- identical multiply sequence to
+        # core._border_axis_weights_traced, so bitwise-equal to the HBM
+        # field this replaces (one (tile_h, W) f32 read per band per
+        # iteration deleted from the fused loop)
+        wy = jnp.where((ys >= 0) & (ys <= H - 1), 1.0, 0.0
+                       ).astype(jnp.float32)
+        wx = jnp.where((xs >= 0) & (xs <= W - 1), 1.0, 0.0
+                       ).astype(jnp.float32)
+        for k in range(min(BORDER, H)):
+            bw = jnp.float32(BORDER_WEIGHTS[k])
+            wy = wy * jnp.where(ys == k, bw, 1.0)
+            wy = wy * jnp.where(ys == H - 1 - k, bw, 1.0)
+        for k in range(min(BORDER, W)):
+            bw = jnp.float32(BORDER_WEIGHTS[k])
+            wx = wx * jnp.where(xs == k, bw, 1.0)
+            wx = wx * jnp.where(xs == W - 1 - k, bw, 1.0)
+        sc = wy * wx
+    else:
+        sc = sc_ref[:]
     r2 = r2 * sc
     r3 = r3 * sc
     r4 = r4 * sc
@@ -620,12 +645,13 @@ def _fused_blur_emit(fl_ref, mbuf, mvals, i, *, n_bands, tile_h, Wp,
                          out_rows=tile_h, row0=tile_h - 8)
 
 
-def _update_blur_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
+def _update_blur_kernel(anchors_ref, r0_ref, flow_ref, r1_hbm,
                         fl_ref, viol_ref, win, win2, fbuf, mbuf, sem, sem2,
                         **kw):
     """Fused variant: same update machinery, the M slot is the flow
-    output and the extra mbuf scratch is the persistent M ring."""
-    _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
+    output, the extra mbuf scratch is the persistent M ring, and the
+    border scale is computed analytically in-kernel (sc_ref=None)."""
+    _update_kernel(anchors_ref, r0_ref, flow_ref, None, r1_hbm,
                    fl_ref, viol_ref, win, win2, fbuf, sem, sem2,
                    mbuf=mbuf, **kw)
 
@@ -633,7 +659,9 @@ def _update_blur_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
 # VMEM gate: the fused kernel adds the (5, 3*tile_h, Ws) f32 M ring to
 # the update kernel's scratch (~12.5 MB total at Ws=2048); at 4K widths
 # (Ws=3968) the sum overflows the 16 MB scoped budget, so 4K+ keeps the
-# two-kernel store loop (it is HBM-stream-bound there anyway).
+# two-kernel store loop (it is HBM-stream-bound there anyway).  Verified
+# by measurement (benchmarks/exp_fused_blur_4k.py): lifting the gate to
+# 4096 fails Mosaic compilation outright at Ws=3968.
 FUSED_BLUR_WS_LIMIT = 2304
 
 
@@ -665,9 +693,6 @@ def _build_fused_blur(batch: int, h: int, w: int, h_real: int, w_real: int,
     def smap(gi, _anchors):      # flow: band i-1 (i == 0 -> last band)
         return (gi // n_bands, 0, (gi % n_bands - 1) % n_bands, 0)
 
-    def scmap(gi, _anchors):
-        return (gi % n_bands, 0)
-
     def vmap_(gi, _anchors):     # per-band spill counts (SMEM row)
         return (gi // n_bands, 0, 0)
 
@@ -680,8 +705,6 @@ def _build_fused_blur(batch: int, h: int, w: int, h_real: int, w_real: int,
                          memory_space=pltpu.VMEM),          # R0 band
             pl.BlockSpec((1, 2, tile_h, w), bmap,
                          memory_space=pltpu.VMEM),          # flow band
-            pl.BlockSpec((tile_h, w), scmap,
-                         memory_space=pltpu.VMEM),          # border scale
             pl.BlockSpec(memory_space=pltpu.ANY),           # R1 full (HBM)
         ],
         out_specs=[
@@ -715,16 +738,18 @@ def _build_fused_blur(batch: int, h: int, w: int, h_real: int, w_real: int,
     return kernel
 
 
-def fused_update_blur_store(R0p, R1p, flowp, scp, h: int, w: int,
+def fused_update_blur_store(R0p, R1p, flowp, h: int, w: int,
                             winsize: int, gaussian: bool = False):
     """One fully-fused iterate step in the store layout: displaced-fetch
     update + winsize box/Gaussian blur + regularized 2x2 solve in ONE
     kernel (optflowgf.cpp runs FarnebackUpdateMatrices +
     FarnebackUpdateFlow_Blur per iteration behind the reference's cv2
     call, optical_flow.py:53-59).  M lives only in the kernel's VMEM
-    ring, and the violation output is a per-band SMEM spill COUNT
-    rather than the mask (nothing here consumes the mask; spilled
-    frames are replayed whole).  Returns (flow_st, n_viol_per).
+    ring, the violation output is a per-band SMEM spill COUNT rather
+    than the mask (nothing here consumes the mask; spilled frames are
+    replayed whole), and the border-scale field is computed
+    analytically in-kernel (no sc operand).  Returns
+    (flow_st, n_viol_per).
     flow_st is bitwise equal to
     blur_solve_store(update_matrices_store(...)[0]) whenever
     n_viol_per == 0; frames with spills MUST be recomputed by the caller
@@ -746,7 +771,7 @@ def fused_update_blur_store(R0p, R1p, flowp, scp, h: int, w: int,
     flow_st, counts = _build_fused_blur(
         B, Hs, Ws, h, w, winsize, bool(gaussian),
         fast=FAST_UNIFORM, split=SPLIT_NONUNIFORM)(
-            anchors, R0p, flowp, scp, R1p)
+            anchors, R0p, flowp, R1p)     # sc computed in-kernel
     # per-band f32 counts are exact integers (<= 16*Ws < 2^24 per band)
     n_viol_per = jnp.sum(counts, axis=(1, 2)).astype(jnp.int32)
     return flow_st, n_viol_per

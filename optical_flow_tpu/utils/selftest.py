@@ -310,7 +310,7 @@ def _cases(quick: bool = False) -> List[Dict]:
                                                  ug.ROW_OFF, ug.COL_OFF)
             Mst, _t = ug.update_matrices_store(R0p, R1p, flp, scp, H, W)
             ref = bs.blur_solve_store(Mst, ws, gaussian)
-            out, nvp = ug.fused_update_blur_store(R0p, R1p, flp, scp,
+            out, nvp = ug.fused_update_blur_store(R0p, R1p, flp,
                                                   H, W, ws, gaussian)
             assert int(np.asarray(nvp).sum()) == 0
             return out, ref

@@ -320,7 +320,7 @@ class TestFusedUpdateBlur:
                                              ug.ROW_OFF, ug.COL_OFF)
         Mst, _t = ug.update_matrices_store(R0p, R1p, flp, scp, H, W)
         ref = np.asarray(bs.blur_solve_store(Mst, winsize, gaussian))
-        out, nvp = ug.fused_update_blur_store(R0p, R1p, flp, scp, H, W,
+        out, nvp = ug.fused_update_blur_store(R0p, R1p, flp, H, W,
                                               winsize, gaussian)
         return np.asarray(out), ref, int(np.asarray(nvp).sum())
 
