@@ -657,12 +657,14 @@ def _update_blur_kernel(anchors_ref, r0_ref, flow_ref, r1_hbm,
 
 
 # VMEM gate: the fused kernel adds the (5, 3*tile_h, Ws) f32 M ring to
-# the update kernel's scratch (~12.5 MB total at Ws=2048); at 4K widths
-# (Ws=3968) the sum overflows the 16 MB scoped budget, so 4K+ keeps the
-# two-kernel store loop (it is HBM-stream-bound there anyway).  Verified
-# by measurement (benchmarks/exp_fused_blur_4k.py): lifting the gate to
-# 4096 fails Mosaic compilation outright at Ws=3968.
-FUSED_BLUR_WS_LIMIT = 2304
+# the update kernel's scratch (~12.5 MB total at Ws=2048).  Mosaic's
+# DEFAULT scoped-VMEM budget (16 MB) capped this at Ws=2304 originally;
+# _build_fused_blur now raises vmem_limit_bytes to the analytic need, so
+# the gate sits at MAX_WP — the width where the update itself switches
+# to the column-chunked variant.  Verified on v5e
+# (benchmarks/exp_fused_blur_4k.py): the Ws=3968 kernel compiles and
+# runs, 29.1 -> 35.5 pairs/s at 4K batch 4, bitwise-identical flow.
+FUSED_BLUR_WS_LIMIT = 4096
 
 
 def fused_blur_supported(h: int, w: int, winsize: int) -> bool:
@@ -722,6 +724,20 @@ def _build_fused_blur(batch: int, h: int, w: int, h_real: int, w_real: int,
             pltpu.SemaphoreType.DMA(()),
         ],
     )
+    # Mosaic's DEFAULT scoped-VMEM budget is 16 MB — a compiler soft
+    # limit, not the hardware (v5e VMEM is 128 MiB).  The fused kernel's
+    # scratch is O(Ws): windows + win2 + fbuf + the M ring sum to
+    # (n_slots*160 + 160 + 80 + 240) f32 rows of Ws lanes, plus the
+    # double-buffered in/out blocks.  Past ~2K widths that exceeds the
+    # default, so raise the limit to the analytic need + headroom — this
+    # is what lifts FUSED_BLUR_WS_LIMIT from 2304 (the old default-budget
+    # ceiling) to MAX_WP.
+    scratch_rows = (n_slots * 5 * WIN_H + 5 * WIN_H + 5 * tile_h
+                    + 5 * 3 * tile_h)
+    block_rows = 2 * (5 * tile_h + 2 * tile_h + 2 * tile_h)
+    vmem_need = (scratch_rows + block_rows) * w * 4
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=max(vmem_need + (8 << 20), 16 << 20))
     kernel = pl.pallas_call(
         functools.partial(_update_blur_kernel, h_real=h_real,
                           w_real=w_real, n_bands=n_bands, n_slots=n_slots,
@@ -734,6 +750,7 @@ def _build_fused_blur(batch: int, h: int, w: int, h_real: int, w_real: int,
             jax.ShapeDtypeStruct((batch, 2, h, w), jnp.float32),
             jax.ShapeDtypeStruct((batch, 1, n_bands), jnp.float32),
         ],
+        compiler_params=params,
     )
     return kernel
 
