@@ -30,13 +30,16 @@ from optical_flow_tpu.models.farneback.params import poly_exp_weights
 # store kernels use.
 TILE_H = 32
 
-# Mosaic's scoped-VMEM stack is 16 MB and the kernel's footprint grows
-# with band_height x padded width: 32-row bands measured 19.65 MB at 4K
-# (wp=3968, compile error) but fit at 1080p (wp=2064); 48-row bands
-# already blow it at 1080p.  Wider frames fall back to 16-row bands
-# (the round-2 shipped config, green through 4K).  2304 leaves ~4 MB of
-# headroom by linear wp scaling from the 4K measurement.
-TILE32_WP_LIMIT = 2304
+# 32-row-band width gate.  Originally 2304: Mosaic's DEFAULT scoped-VMEM
+# budget is 16 MB and the kernel's in-kernel temporaries grow with
+# band_height x padded width (19.65 MB measured at 4K wp=3968).  _build
+# now sets vmem_limit_bytes analytically (the default is a compiler soft
+# cap, not the 128 MiB v5e hardware), so the gate sits at 4096 = the
+# widest single-chunk update width.  Verified on v5e
+# (benchmarks/exp_polyexp_4k.py): 4K tile-32 compiles, R and flow
+# bitwise-identical to tile-16, whole-pipeline 35.1 -> 35.9 pairs/s.
+# Beyond 4096 (8K-class) the 16-row fallback remains.
+TILE32_WP_LIMIT = 4096
 
 # Fold the inverse-Gram combination into the correlation taps (see
 # _kernel): saves one horizontal accumulator and the whole per-chunk
@@ -312,6 +315,23 @@ def _build(batch: int, h: int, w: int, poly_n: int, poly_sigma: float,
             body = functools.partial(_kernel, **common)
         in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
 
+    # Mosaic's DEFAULT scoped-VMEM budget is 16 MB — a compiler soft
+    # limit, not the v5e hardware (128 MiB VMEM).  Size the limit from
+    # the analytic need (window scratch + double-buffered out/aux
+    # blocks) so band height is chosen by perf, not by the default
+    # budget (see TILE32_WP_LIMIT).
+    in_bytes = 2 if in_bf16 else 4
+    vmem_need = (ns * rows * wp * in_bytes            # window scratch
+                 + 2 * 5 * tile_h * out_w * 4         # out blocks (dbuf)
+                 + (2 * 2 * wp * 4 if pre is not None else 0)  # aux
+                 # in-kernel live temporaries: the vertical-pass moment
+                 # planes plus horizontal accumulators — Mosaic counts
+                 # these against the scoped budget too, and they are
+                 # what actually overflowed the default at tile 32/4K
+                 # (19.65 MB measured vs ~1.1 MB of scratch_shapes)
+                 + 24 * tile_h * wp * 4)
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=max(vmem_need + (8 << 20), 16 << 20))
     kernel = pl.pallas_call(
         body,
         grid=(batch * n_bands,),
@@ -324,6 +344,7 @@ def _build(batch: int, h: int, w: int, poly_n: int, poly_sigma: float,
                        jnp.bfloat16 if in_bf16 else jnp.float32),
             pltpu.SemaphoreType.DMA((ns,)),
         ],
+        compiler_params=params,
     )
     return kernel, pad, hp, wp
 

@@ -57,6 +57,13 @@ VIOL_MAX = 16384    # max spilled pixels fixed by the XLA correction
 ROW_OFF = 16
 COL_OFF = 8
 
+# R1 displaced-fetch window double-buffer gate: above this width the
+# (n_slots, 5, WIN_H, w) window scratch is single-buffered.  2048 dates
+# from the default-16 MB-scoped-VMEM era; the builds now set an analytic
+# vmem_limit_bytes, so the remaining question is measured perf
+# (benchmarks/exp_fused_slots_4k.py).  Module-global for the A/B harness.
+DBUF_W_LIMIT = 2048
+
 # Observability: how often the exactness tiers fire (tier 2 = bounded
 # gather+scatter correction, tier 3 = full XLA recompute).  Content that
 # silently falls off the fast path (dense noise, fast global motion) shows
@@ -513,7 +520,7 @@ def _build(batch: int, h: int, w: int, h_real: int, w_real: int,
     def scmap(gi, _anchors):
         return (gi % n_bands, 0)
 
-    n_slots = 2 if w <= 2048 else 1     # VMEM budget at 4K widths
+    n_slots = 2 if w <= DBUF_W_LIMIT else 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(batch * n_bands,),
@@ -540,6 +547,14 @@ def _build(batch: int, h: int, w: int, h_real: int, w_real: int,
             pltpu.SemaphoreType.DMA(()),
         ],
     )
+    # analytic scoped-VMEM limit (Mosaic's 16 MB default is a compiler
+    # soft cap, not the 128 MiB v5e hardware — see _build_fused_blur)
+    scratch_rows = n_slots * 5 * WIN_H + 5 * WIN_H + 5 * tile_h
+    block_rows = 2 * (5 * tile_h + 2 * tile_h + tile_h
+                      + 5 * tile_h + tile_h)
+    vmem_need = (scratch_rows + block_rows) * w * 4
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=max(vmem_need + (8 << 20), 16 << 20))
     kernel = pl.pallas_call(
         functools.partial(_update_kernel, h_real=h_real, w_real=w_real,
                           n_bands=n_bands, n_slots=n_slots,
@@ -550,6 +565,7 @@ def _build(batch: int, h: int, w: int, h_real: int, w_real: int,
             jax.ShapeDtypeStruct((batch, 5, h, w), jnp.float32),
             jax.ShapeDtypeStruct((batch, 1, h, w), jnp.float32),
         ],
+        compiler_params=params,
     )
     return kernel
 
@@ -698,7 +714,7 @@ def _build_fused_blur(batch: int, h: int, w: int, h_real: int, w_real: int,
     def vmap_(gi, _anchors):     # per-band spill counts (SMEM row)
         return (gi // n_bands, 0, 0)
 
-    n_slots = 2 if w <= 2048 else 1
+    n_slots = 2 if w <= DBUF_W_LIMIT else 1
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(batch * n_bands,),

@@ -322,6 +322,10 @@ def _cases(quick: bool = False) -> List[Dict]:
         fused_blur_case(57, 130, B=1, seed=1))
     add("fused_blur/bitwise_gaussian_64x200", 0.0, 0.0,
         fused_blur_case(64, 200, B=1, gaussian=True, seed=2))
+    # 4K width (Ws=3968, n_slots=1): the raised-vmem_limit_bytes region
+    # above Mosaic's default 16 MB budget (FUSED_BLUR_WS_LIMIT=4096)
+    add("fused_blur/bitwise_4k_48x3840", 0.0, 0.0,
+        fused_blur_case(48, 3840, B=1, seed=3))
 
     def gresize_bf16_case(H, W, s, ks, sigma):
         def run():
