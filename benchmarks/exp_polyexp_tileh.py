@@ -85,7 +85,7 @@ def main():
     import jax
     import optical_flow_tpu.models.farneback.flow as flowmod
     import optical_flow_tpu.pallas.polyexp as pe
-    from optical_flow_tpu.models.farneback.core import gaussian_kernel
+    from optical_flow_tpu.models.farneback.params import gaussian_kernel
     from optical_flow_tpu.oracle import smooth_texture_pair
 
     f1, f2 = smooth_texture_pair(H, W, (2, 3))

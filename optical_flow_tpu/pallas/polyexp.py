@@ -27,7 +27,12 @@ from optical_flow_tpu.models.farneback.params import poly_exp_weights
 # at 32, bitwise-identical flow) — the kernel is data-movement bound
 # (see docs/KERNELS.md), so halving the grid-step count and cutting the
 # window halo overfetch from 2x to 1.5x beats the 16-row default the
-# store kernels use.
+# store kernels use.  Taller bands, unlocked by the analytic
+# vmem_limit_bytes, are a STANDALONE win only (exp_polyexp_tileh.py on
+# v5e: L0 polyexp 76.9 -> 63.8 -> 57.1 ms at 32/48/64 rows, bitwise
+# equal) — the whole pipeline is flat (146.6/147.2/146.0 pairs/s, noise)
+# because XLA already overlaps polyexp with the iterate-bound critical
+# path, so 32 stays.
 TILE_H = 32
 
 # 32-row-band width gate.  Originally 2304: Mosaic's DEFAULT scoped-VMEM

@@ -60,8 +60,10 @@ COL_OFF = 8
 # R1 displaced-fetch window double-buffer gate: above this width the
 # (n_slots, 5, WIN_H, w) window scratch is single-buffered.  2048 dates
 # from the default-16 MB-scoped-VMEM era; the builds now set an analytic
-# vmem_limit_bytes, so the remaining question is measured perf
-# (benchmarks/exp_fused_slots_4k.py).  Module-global for the A/B harness.
+# vmem_limit_bytes, so n_slots=2 FITS at 4K — but measured perf says it
+# does not pay there (benchmarks/exp_fused_slots_4k.py on v5e: 35.7 vs
+# 35.4 pairs/s, noise; the 2x-wider window DMA already hides under the
+# band compute).  Module-global for the A/B harness.
 DBUF_W_LIMIT = 2048
 
 # Observability: how often the exactness tiers fire (tier 2 = bounded

@@ -324,11 +324,13 @@ class TestFusedUpdateBlur:
                                               winsize, gaussian)
         return np.asarray(out), ref, int(np.asarray(nvp).sum())
 
+    @pytest.mark.slow
     def test_smooth(self):
         out, ref, nv = self._store_pair(64, 200)
         assert nv == 0
         assert self._close(out, ref)
 
+    @pytest.mark.slow
     def test_unaligned_split_bottom_patch(self):
         # h=57: last image store row rb=72, rb%16=8 -> the 8-row bottom
         # replicate halo spans two bands (7 rows this band, 1 the next)
@@ -341,6 +343,7 @@ class TestFusedUpdateBlur:
         assert nv == 0
         assert self._close(out, ref)
 
+    @pytest.mark.slow
     def test_spill_fallback_matches_twokernel_loop(self):
         import optical_flow_tpu.pallas.fused_iterate as fi
         from optical_flow_tpu.models.farneback import core
