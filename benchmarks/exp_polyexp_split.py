@@ -150,7 +150,7 @@ def _build_variant(batch, h, w, poly_n, poly_sigma, stage):
                           xg=tuple(float(x) for x in xg),
                           xxg=tuple(float(x) for x in xxg), stage=stage),
         grid=(batch * n_bands,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, 3, TILE_H, out_w), omap,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((batch, 3, hp, out_w), jnp.float32),

@@ -179,7 +179,7 @@ def _build(batch: int, h: int, w: int, winsize: int, gaussian: bool):
         functools.partial(_kernel, m=m, pad=pad, wp=wp, n_bands=n_bands,
                           inv_area=inv_area, taps=taps),
         grid=(batch * n_bands,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],   # padded M (HBM)
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],   # padded M (HBM)
         out_specs=pl.BlockSpec((1, 2, TILE_H, out_w), _omap(n_bands),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((batch, 2, hp, out_w), jnp.float32),
@@ -296,7 +296,7 @@ def _build_store(batch: int, Hs: int, Ws: int, winsize: int, gaussian: bool,
         functools.partial(_kernel_store, m=m, Ws=Ws, n_bands=n_bands,
                           inv_area=inv_area, taps=taps, tile_h=tile_h),
         grid=(batch * n_bands,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],   # M store (HBM)
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],   # M store (HBM)
         out_specs=pl.BlockSpec((1, 2, tile_h, Ws), _omap(n_bands),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((batch, 2, Hs, Ws), jnp.float32),

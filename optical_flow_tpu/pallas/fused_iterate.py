@@ -41,8 +41,11 @@ from optical_flow_tpu.pallas.blur_solve import _PAD_S, blur_solve_store
 from optical_flow_tpu.pallas.update_gather import (
     COL_OFF,
     ROW_OFF,
+    _chunk_geometry,
+    fused_blur_chunked_supported,
     fused_blur_supported,
     fused_update_blur_store,
+    fused_update_blur_store_chunked,
     supported_shape,
     tier_flags,
     update_matrices_store,
@@ -66,8 +69,14 @@ FUSE_UPDATE_BLUR = True
 
 def supported(h: int, w: int, winsize: int) -> bool:
     """True if the fused loop handles this level (both kernels eligible
-    and the box half-width fits the baked-in 8-deep store halo)."""
-    return 3 <= winsize <= 2 * _PAD_S + 1 and supported_shape(h, w)
+    and the box half-width fits the baked-in 8-deep store halo).  Wide
+    frames (> MAX_WP padded lanes, e.g. 5K-8K) qualify only through the
+    column-chunked fused step, so they require FUSE_UPDATE_BLUR."""
+    if not 3 <= winsize <= 2 * _PAD_S + 1:
+        return False
+    if supported_shape(h, w):
+        return True
+    return FUSE_UPDATE_BLUR and fused_blur_chunked_supported(h, w, winsize)
 
 
 
@@ -81,18 +90,27 @@ def update_flow_fused(R0, R1, flow, winsize: int, iterations: int,
     B, _, h, w = R0.shape
     Hs = _ceil(h, 16) + 32
     Ws = _ceil(w + 2 * COL_OFF, 128)
+    use_fused = FUSE_UPDATE_BLUR and fused_blur_supported(h, w, winsize)
+    use_fused_chunked = (not use_fused and FUSE_UPDATE_BLUR
+                         and fused_blur_chunked_supported(h, w, winsize))
+    if use_fused_chunked:
+        # the chunked kernel needs the padded width to split into n_x
+        # equal lane chunks (extra right padding is dead: sc == 0 there)
+        n_x, cw, _xwin = _chunk_geometry(Ws)
+        Ws = n_x * cw
     pad = [(0, 0), (0, 0), (ROW_OFF, Hs - ROW_OFF - h),
            (COL_OFF, Ws - COL_OFF - w)]
     R0p = jnp.pad(R0, pad)
     R1p = jnp.pad(R1, pad)
     flowp = jnp.pad(flow, pad)
-    scp = border_scale_field_traced(h, w, Hs, Ws, ROW_OFF, COL_OFF)
 
     # scan, not a Python loop: the iteration body (the Mosaic kernels)
     # is compiled ONCE per level instead of `iterations` times — XLA does
     # not CSE identical pallas custom-calls, and the update kernel is the
     # most expensive Mosaic compile in the pipeline (~12 s at 1080p).
-    if FUSE_UPDATE_BLUR and fused_blur_supported(h, w, winsize):
+    if use_fused:
+        scp = border_scale_field_traced(h, w, Hs, Ws, ROW_OFF, COL_OFF)
+
         def body(fl, _):
             flp, nvp = fused_update_blur_store(R0p, R1p, fl, h, w,
                                                winsize, gaussian)
@@ -106,7 +124,35 @@ def update_flow_fused(R0, R1, flow, winsize: int, iterations: int,
             fl_next = jax.lax.cond(jnp.sum(nvp) > 0, slow,
                                    lambda _fl: flp, fl)
             return fl_next, tier_flags(nvp)
+    elif use_fused_chunked:
+        from optical_flow_tpu.pallas.blur_solve import (
+            update_flow_blur_solve_pallas)
+        from optical_flow_tpu.pallas.update_gather import (
+            update_matrices_pallas_batched_stats)
+        sl = (slice(None), slice(None), slice(ROW_OFF, ROW_OFF + h),
+              slice(COL_OFF, COL_OFF + w))
+
+        def body(fl, _):
+            flp, nvp = fused_update_blur_store_chunked(
+                R0p, R1p, fl, h, w, winsize, gaussian)
+
+            def slow(fl_in):
+                # exact recompute for spilled frames through the same
+                # wide-frame two-kernel path production used pre-fusion
+                # (chunked Pallas update + its tier corrections, then the
+                # standalone blur) — bitwise-identical results
+                M, _t = update_matrices_pallas_batched_stats(
+                    R0p[sl], R1p[sl], fl_in[sl])
+                fl_log = update_flow_blur_solve_pallas(M, winsize,
+                                                       gaussian)
+                return jnp.zeros_like(fl_in).at[sl].set(fl_log)
+
+            fl_next = jax.lax.cond(jnp.sum(nvp) > 0, slow,
+                                   lambda _fl: flp, fl)
+            return fl_next, tier_flags(nvp)
     else:
+        scp = border_scale_field_traced(h, w, Hs, Ws, ROW_OFF, COL_OFF)
+
         def body(fl, _):
             Mst, tiers = update_matrices_store(R0p, R1p, fl, scp, h, w)
             return blur_solve_store(Mst, winsize, gaussian), tiers

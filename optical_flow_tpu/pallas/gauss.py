@@ -90,7 +90,7 @@ def _build(batch: int, h: int, w: int, taps: tuple):
         functools.partial(_kernel, r=r, pad=pad, out_w=out_w,
                           n_bands=n_bands, taps=taps),
         grid=(batch * n_bands,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, TILE_H, out_w),
             lambda gi: (gi // n_bands, gi % n_bands, 0),

@@ -124,7 +124,7 @@ def _build(batch: int, hr: int, wp: int, out_h_p: int,
                           win_rows=win_rows, offs=offs, n_bands=n_bands,
                           in_bf16=in_bf16),
         grid=(batch * n_bands,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (1, TILE_H, wp),
             lambda gi: (gi // n_bands, gi % n_bands, 0),

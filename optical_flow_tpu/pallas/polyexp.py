@@ -306,7 +306,7 @@ def _build(batch: int, h: int, w: int, poly_n: int, poly_sigma: float,
         body = functools.partial(_kernel_fused, pre=pre, h_real=h,
                                  w_real=w, in_bf16=in_bf16, **common)
         in_specs = [
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 2, wp), lambda gi: (gi // n_bands, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
@@ -318,7 +318,7 @@ def _build(batch: int, h: int, w: int, poly_n: int, poly_sigma: float,
                 inner(ip_hbm, None, r_ref, win, sem)
         else:
             body = functools.partial(_kernel, **common)
-        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
 
     # Mosaic's DEFAULT scoped-VMEM budget is 16 MB — a compiler soft
     # limit, not the v5e hardware (128 MiB VMEM).  Size the limit from

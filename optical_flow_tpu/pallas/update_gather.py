@@ -158,6 +158,26 @@ FAST_UNIFORM = True
 SPLIT_NONUNIFORM = False
 
 
+def _analytic_sc(ys, xs, H: int, W: int):
+    """Analytic in-kernel border scale: the field is a separable product
+    of two 5-tap border ramps over the logical coords the kernel already
+    holds (ys, xs) — identical multiply sequence to
+    core._border_axis_weights_traced, so bitwise-equal to the HBM field
+    this replaces (one (tile_h, W) f32 read per band per iteration
+    deleted from the fused loop)."""
+    wy = jnp.where((ys >= 0) & (ys <= H - 1), 1.0, 0.0).astype(jnp.float32)
+    wx = jnp.where((xs >= 0) & (xs <= W - 1), 1.0, 0.0).astype(jnp.float32)
+    for k in range(min(BORDER, H)):
+        bw = jnp.float32(BORDER_WEIGHTS[k])
+        wy = wy * jnp.where(ys == k, bw, 1.0)
+        wy = wy * jnp.where(ys == H - 1 - k, bw, 1.0)
+    for k in range(min(BORDER, W)):
+        bw = jnp.float32(BORDER_WEIGHTS[k])
+        wx = wx * jnp.where(xs == k, bw, 1.0)
+        wx = wx * jnp.where(xs == W - 1 - k, bw, 1.0)
+    return wy * wx
+
+
 def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
                    m_ref, viol_ref, win, win2, fbuf, sem, sem2, *,
                    h_real: int, w_real: int, n_bands: int, n_slots: int,
@@ -457,25 +477,7 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
     r3 = (r0[1] - jnp.where(inside, f1, 0.0)) * 0.5 + (r6 * dy + r5 * dx)
 
     if sc_ref is None:
-        # analytic in-kernel border scale: the field is a separable
-        # product of two 5-tap border ramps over the logical coords the
-        # kernel already holds (ys, xs) -- identical multiply sequence to
-        # core._border_axis_weights_traced, so bitwise-equal to the HBM
-        # field this replaces (one (tile_h, W) f32 read per band per
-        # iteration deleted from the fused loop)
-        wy = jnp.where((ys >= 0) & (ys <= H - 1), 1.0, 0.0
-                       ).astype(jnp.float32)
-        wx = jnp.where((xs >= 0) & (xs <= W - 1), 1.0, 0.0
-                       ).astype(jnp.float32)
-        for k in range(min(BORDER, H)):
-            bw = jnp.float32(BORDER_WEIGHTS[k])
-            wy = wy * jnp.where(ys == k, bw, 1.0)
-            wy = wy * jnp.where(ys == H - 1 - k, bw, 1.0)
-        for k in range(min(BORDER, W)):
-            bw = jnp.float32(BORDER_WEIGHTS[k])
-            wx = wx * jnp.where(xs == k, bw, 1.0)
-            wx = wx * jnp.where(xs == W - 1 - k, bw, 1.0)
-        sc = wy * wx
+        sc = _analytic_sc(ys, xs, H, W)
     else:
         sc = sc_ref[:]
     r2 = r2 * sc
@@ -533,7 +535,7 @@ def _build(batch: int, h: int, w: int, h_real: int, w_real: int,
                          memory_space=pltpu.VMEM),          # flow band
             pl.BlockSpec((tile_h, w), scmap,
                          memory_space=pltpu.VMEM),          # border scale
-            pl.BlockSpec(memory_space=pltpu.ANY),           # R1 full (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),           # R1 full (HBM)
         ],
         out_specs=[
             pl.BlockSpec((1, 5, tile_h, w), bmap,
@@ -725,7 +727,7 @@ def _build_fused_blur(batch: int, h: int, w: int, h_real: int, w_real: int,
                          memory_space=pltpu.VMEM),          # R0 band
             pl.BlockSpec((1, 2, tile_h, w), bmap,
                          memory_space=pltpu.VMEM),          # flow band
-            pl.BlockSpec(memory_space=pltpu.ANY),           # R1 full (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),           # R1 full (HBM)
         ],
         out_specs=[
             pl.BlockSpec((1, 2, tile_h, w), smap,
@@ -812,33 +814,278 @@ def fused_update_blur_store(R0p, R1p, flowp, h: int, w: int,
     return flow_st, n_viol_per
 
 
+def _fused_blur_emit_chunked(fl_ref, mbuf, mvals, i, jx, x0, *, n_bands: int,
+                             n_x: int, cw: int, tile_h: int, h_img: int,
+                             w_img: int, row_off: int, col_off: int, m,
+                             taps, inv_area, fac):
+    """Chunked twin of _fused_blur_emit: the M ring is FULL-WIDTH
+    (5, 3*tile_h, Ws) while the update computes (tile_h, cw) chunks, so
+    the ring shifts once per band (first chunk) and the blurred/solved
+    flow for band i-1 is emitted full-width at the band's LAST chunk step
+    — at which point band i-1's (tile_h + 2*8)-row window is fully
+    resident, including band i's just-completed top rows.  All replicate
+    halo patches (columns and the top/bottom row fixes) are applied to
+    the ring at the emission step with static indices, reading sources
+    from the ring itself (full band i is available there, unlike the
+    per-chunk register values)."""
+    from optical_flow_tpu.pallas.blur_solve import _blur_solve_body
+    PAD = col_off                       # == blur_solve._PAD_S
+    Ws = mbuf.shape[2]
+
+    # 1. at the band's first chunk, shift the ring up one band
+    @pl.when(jx == 0)
+    def _():
+        for c in range(5):
+            rolled = mbuf[c, tile_h:3 * tile_h, :]
+            mbuf[c, 0:2 * tile_h, :] = rolled
+
+    # 2. append this chunk's M to the current band's slot (x0 = jx*cw is
+    # dynamic: lane-tile aligned because cw is a 128-multiple)
+    xds = pl.ds(pl.multiple_of(x0, TILE_W), cw)
+    for c in range(5):
+        mbuf[c, 2 * tile_h:3 * tile_h, xds] = mvals[c]
+
+    rb = row_off + h_img - 1            # last real image store row
+    i_b, rb_l = rb // tile_h, rb % tile_h
+    n1 = min(8, tile_h - 1 - rb_l)
+    n2 = 8 - n1
+
+    @pl.when(jx == n_x - 1)
+    def _():
+        # 3. replicate halo patches on the completed band i (full-width,
+        # static indices).  Column halos first so the row patches below
+        # broadcast already-patched rows.
+        for c in range(5):
+            mbuf[c, 2 * tile_h:3 * tile_h, 0:col_off] = jnp.broadcast_to(
+                mbuf[c, 2 * tile_h:3 * tile_h, col_off:col_off + 1],
+                (tile_h, col_off))
+            mbuf[c, 2 * tile_h:3 * tile_h, col_off + w_img:] = \
+                jnp.broadcast_to(
+                    mbuf[c, 2 * tile_h:3 * tile_h,
+                         col_off + w_img - 1:col_off + w_img],
+                    (tile_h, Ws - col_off - w_img))
+
+        # top row halo: store rows [row_off-8, row_off) <- image row 0
+        # (= band 1's row 0 = ring row 2*tile_h at i == 1); band 0's last
+        # 8 rows sit at ring rows [2*tile_h-8, 2*tile_h) post-shift
+        @pl.when(i == 1)
+        def _():
+            for c in range(5):
+                mbuf[c, 2 * tile_h - 8:2 * tile_h, :] = jnp.broadcast_to(
+                    mbuf[c, 2 * tile_h:2 * tile_h + 1, :], (8, Ws))
+
+        # bottom row halo: store rows (rb, rb+8] <- row rb; n1 rows in
+        # band i_b, n2 in band i_b+1 (sourced from the ring one band
+        # later).  Rows beyond rb+8 stay 0 (sc == 0 there).
+        if n1 > 0:
+            @pl.when(i == i_b)
+            def _():
+                for c in range(5):
+                    mbuf[c, 2 * tile_h + rb_l + 1:
+                         2 * tile_h + rb_l + 1 + n1, :] = jnp.broadcast_to(
+                        mbuf[c, 2 * tile_h + rb_l:2 * tile_h + rb_l + 1, :],
+                        (n1, Ws))
+        if n2 > 0:
+            @pl.when(i == i_b + 1)
+            def _():
+                for c in range(5):
+                    src = mbuf[c, tile_h + rb_l:tile_h + rb_l + 1, :]
+                    mbuf[c, 2 * tile_h:2 * tile_h + n2, :] = \
+                        jnp.broadcast_to(src, (n2, Ws))
+
+        # 4. emit flow band i-1 (bands 0 and n_bands-1 are pure halo)
+        @pl.when(i < 2)
+        def _():
+            fl_ref[0, 0] = jnp.zeros((tile_h, Ws), jnp.float32)
+            fl_ref[0, 1] = jnp.zeros((tile_h, Ws), jnp.float32)
+
+        @pl.when(i >= 2)
+        def _():
+            fl_ref[0, 0, :, :PAD] = jnp.zeros((tile_h, PAD), jnp.float32)
+            fl_ref[0, 1, :, :PAD] = jnp.zeros((tile_h, PAD), jnp.float32)
+            fl_ref[0, 0, :, Ws - PAD:] = jnp.zeros((tile_h, PAD),
+                                                   jnp.float32)
+            fl_ref[0, 1, :, Ws - PAD:] = jnp.zeros((tile_h, PAD),
+                                                   jnp.float32)
+            # band i-1's window = ring rows [tile_h-8, 2*tile_h+8)
+            _blur_solve_body(mbuf, fl_ref, m=m, pad=PAD,
+                             out_w=Ws - 2 * PAD, col0=PAD,
+                             inv_area=inv_area, taps=taps, fac=fac,
+                             out_rows=tile_h, row0=tile_h - 8)
+
+
+def _update_blur_kernel_chunked(ay_ref, ax_ref, r0_ref, flow_ref, r1_hbm,
+                                fl_ref, viol_ref, win, win2, fbuf, mbuf,
+                                sem, sem2, **kw):
+    """Fused chunked variant: same chunked update machinery, the M slot is
+    the full-width flow output, the extra mbuf scratch is the persistent
+    full-width M ring, and the border scale is analytic in-kernel."""
+    _update_kernel_chunked(ay_ref, ax_ref, r0_ref, flow_ref, None, r1_hbm,
+                           fl_ref, viol_ref, win, win2, fbuf, sem, sem2,
+                           mbuf=mbuf, **kw)
+
+
+def fused_blur_chunked_supported(h: int, w: int, winsize: int) -> bool:
+    """Widths beyond the full-width fused kernel (> MAX_WP padded lanes,
+    e.g. 5K-8K frames) where the column-chunked fused variant applies."""
+    Ws0 = _ceil(w + 2 * COL_OFF, TILE_W)
+    return (3 <= winsize <= 2 * COL_OFF + 1
+            and FUSED_BLUR_WS_LIMIT < Ws0 <= MAX_WP_CHUNKED
+            and _ceil(h, TILE_H) >= WIN_H)
+
+
+@functools.lru_cache(maxsize=8)
+def _build_fused_blur_chunked(batch: int, Hs: int, Ws: int, h_real: int,
+                              w_real: int, winsize: int, gaussian: bool,
+                              n_x: int, cw: int, xwin: int,
+                              tile_h: int = 16):
+    from optical_flow_tpu.models.farneback.core import gaussian_window_kernel
+    from optical_flow_tpu.pallas.blur_solve import _PAD_S, _factor
+    assert _PAD_S == COL_OFF and tile_h == ROW_OFF and n_x * cw == Ws
+    m = winsize // 2
+    if gaussian:
+        taps = tuple(float(t) for t in gaussian_window_kernel(winsize))
+        inv_area, fac = 1.0, None
+    else:
+        taps = None
+        inv_area, fac = 1.0 / (winsize * winsize), _factor(winsize)
+    n_bands = Hs // tile_h
+
+    def bmap(gi, _ay, _ax):
+        return (gi // (n_bands * n_x), 0, (gi // n_x) % n_bands, gi % n_x)
+
+    def smap(gi, _ay, _ax):     # flow: band i-1, full width
+        return (gi // (n_bands * n_x), 0,
+                ((gi // n_x) % n_bands - 1) % n_bands, 0)
+
+    def vmap_(gi, _ay, _ax):    # per-band spill counts (SMEM row)
+        return (gi // (n_bands * n_x), 0, 0)
+
+    n_slots = 2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(batch * n_bands * n_x,),
+        in_specs=[
+            pl.BlockSpec((1, 5, tile_h, cw), bmap,
+                         memory_space=pltpu.VMEM),          # R0 chunk
+            pl.BlockSpec((1, 2, tile_h, cw), bmap,
+                         memory_space=pltpu.VMEM),          # flow chunk
+            pl.BlockSpec(memory_space=pl.ANY),           # R1 full (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 2, tile_h, Ws), smap,
+                         memory_space=pltpu.VMEM),          # flow band out
+            pl.BlockSpec((1, 1, n_bands), vmap_,
+                         memory_space=pltpu.SMEM),          # spill counts
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_slots, 5, WIN_H, xwin), jnp.float32),
+            pltpu.VMEM((5, WIN_H, xwin), jnp.float32),
+            pltpu.VMEM((5, tile_h, cw), jnp.float32),
+            pltpu.VMEM((5, 3 * tile_h, Ws), jnp.float32),   # M ring
+            pltpu.SemaphoreType.DMA((n_slots,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    # analytic scoped-VMEM need: chunk-sized window/fbuf/in-blocks plus
+    # the full-width ring and (double-buffered) full-width flow out block
+    vmem_need = ((n_slots * 5 * WIN_H + 5 * WIN_H) * xwin
+                 + (5 * tile_h + 2 * (5 * tile_h + 2 * tile_h)) * cw
+                 + (5 * 3 * tile_h + 2 * 2 * tile_h) * Ws) * 4
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=max(vmem_need + (8 << 20), 16 << 20))
+    kernel = pl.pallas_call(
+        functools.partial(_update_blur_kernel_chunked, h_real=h_real,
+                          w_real=w_real, n_bands=n_bands, n_x=n_x, cw=cw,
+                          xwin=xwin, n_slots=n_slots, row_off=ROW_OFF,
+                          col_off=COL_OFF, tile_h=tile_h,
+                          viol_counts=True,
+                          blur=dict(m=m, taps=taps, inv_area=inv_area,
+                                    fac=fac)),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, 2, Hs, Ws), jnp.float32),
+            jax.ShapeDtypeStruct((batch, 1, n_bands), jnp.float32),
+        ],
+        compiler_params=params,
+    )
+    return kernel
+
+
+def fused_update_blur_store_chunked(R0p, R1p, flowp, h: int, w: int,
+                                    winsize: int, gaussian: bool = False):
+    """Column-chunked twin of fused_update_blur_store for wide frames
+    (padded width > MAX_WP, e.g. 5K-8K).  Same contract: one fully-fused
+    iterate step in the store layout, M only ever in the kernel's VMEM
+    ring, (flow_st, n_viol_per) out; frames with spills MUST be replayed
+    by the caller through the exact two-kernel path.  The store layout's
+    Ws must equal n_x * cw from _chunk_geometry (fused_iterate pads
+    accordingly)."""
+    B, _, Hs, Ws = R0p.shape
+    tile_h = 16
+    n_bands = Hs // tile_h
+    n_x, cw, xwin = _chunk_geometry(Ws)
+    assert n_x * cw == Ws, (
+        "caller must pad Ws to n_x*cw from _chunk_geometry "
+        f"(got Ws={Ws}, n_x={n_x}, cw={cw})")
+    cols = jnp.arange(Ws)
+    col_real = (cols >= COL_OFF) & (cols < COL_OFF + w)
+    ys_log = jnp.arange(Hs, dtype=jnp.float32)[None, :, None] - ROW_OFF
+    row_real = (ys_log >= 0) & (ys_log <= h - 1)
+    real = row_real & col_real[None, None, :]
+    yi_st = jnp.clip(jnp.round(ys_log + flowp[:, 1]), 0, h - 1) + ROW_OFF
+    yi_st = jnp.where(real, yi_st, jnp.float32(h - 1 + ROW_OFF))
+    ymin = jnp.min(yi_st.reshape(B, n_bands, tile_h, n_x, cw), axis=(2, 4))
+    ay = jnp.clip((ymin.astype(jnp.int32) // 8) * 8, 0, Hs - WIN_H)
+    xs_log = jnp.arange(Ws, dtype=jnp.float32)[None, None, :] - COL_OFF
+    xi_st = jnp.clip(jnp.round(xs_log + flowp[:, 0]), 0, w - 1) + COL_OFF
+    xi_st = jnp.where(real, xi_st, jnp.float32(w - 1 + COL_OFF))
+    xmin = jnp.min(xi_st.reshape(B, n_bands, tile_h, n_x, cw), axis=(2, 4))
+    ax = jnp.clip((xmin.astype(jnp.int32) // TILE_W) * TILE_W,
+                  0, Ws - xwin)
+    flow_st, counts = _build_fused_blur_chunked(
+        B, Hs, Ws, h, w, winsize, bool(gaussian), n_x, cw, xwin)(
+            ay.reshape(-1), ax.reshape(-1), R0p, flowp, R1p)
+    n_viol_per = jnp.sum(counts, axis=(1, 2)).astype(jnp.int32)
+    return flow_st, n_viol_per
+
+
 def _update_kernel_chunked(ay_ref, ax_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
                            m_ref, viol_ref, win, win2, fbuf, sem, sem2, *,
                            h_real: int, w_real: int, n_bands: int, n_x: int,
-                           cw: int, xwin: int, n_slots: int):
+                           cw: int, xwin: int, n_slots: int,
+                           row_off: int = 0, col_off: int = 0,
+                           tile_h: int = TILE_H, blur=None, mbuf=None,
+                           viol_counts: bool = False):
     """Column-chunked twin of _update_kernel for wide frames (> MAX_WP).
 
-    Grid: (B * H/8 * n_x,) — each step one (8, cw) block.  The R1 window
-    is anchored in BOTH axes ((5, WIN_H, xwin) at the block's min fetched
-    row and min fetched lane-tile, both precomputed and scalar-prefetched),
-    so VMEM and Mosaic program size are O(cw), independent of W — the two
-    quantities that made the full-width kernel top out at ~4K widths.
-    Source pixels outside the x-window spill exactly like out-of-row-window
-    ones: in-kernel second-chance pass (re-anchored in both axes), then
-    the bounded XLA correction — the three-tier exactness contract is
-    unchanged.  Kept separate from _update_kernel so the tuned <=4K path
-    stays byte-for-byte and instruction-for-instruction identical.
-    Store-layout offsets are unsupported here (the fused loop keeps the
-    full-width limit).
+    Grid: (B * H/tile_h * n_x,) — each step one (tile_h, cw) block.  The
+    R1 window is anchored in BOTH axes ((5, WIN_H, xwin) at the block's
+    min fetched row and min fetched lane-tile, both precomputed and
+    scalar-prefetched), so VMEM and Mosaic program size are O(cw),
+    independent of W — the two quantities that made the full-width kernel
+    top out at ~4K widths.  Source pixels outside the x-window spill
+    exactly like out-of-row-window ones: in-kernel second-chance pass
+    (re-anchored in both axes), then the bounded XLA correction — the
+    three-tier exactness contract is unchanged.  Kept separate from
+    _update_kernel so the tuned <=4K path stays byte-for-byte and
+    instruction-for-instruction identical.
+
+    row_off/col_off/tile_h/blur/mbuf/viol_counts: the fused store-layout
+    mode (see _fused_blur_emit_chunked) — operands arrive in the shifted
+    'store' layout, M chunks accumulate in a persistent full-width 3-band
+    VMEM ring, and each band's last chunk step emits the blurred/solved
+    flow for band i-1 full-width.  Defaults preserve the plain wide-frame
+    path bit-for-bit.
     """
     gi = pl.program_id(0)
     n_total = pl.num_programs(0)
     jx = gi % n_x
+    i = (gi // n_x) % n_bands
     Hp = r1_hbm.shape[2]
     n_sub_tot = r1_hbm.shape[3] // TILE_W
     wl_tot = r1_hbm.shape[3]
     H, W = h_real, w_real
-    tile_h = TILE_H
     xt_tiles = xwin // TILE_W
 
     def dma(slot, step):
@@ -862,21 +1109,38 @@ def _update_kernel_chunked(ay_ref, ax_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
     dx = flow_ref[0, 0]
     dy = flow_ref[0, 1]
     x0 = jx * cw
-    ys = (((gi // n_x) % n_bands) * tile_h
+    ys = (i * tile_h - row_off
           + jax.lax.broadcasted_iota(jnp.int32, (tile_h, cw), 0)
           ).astype(jnp.float32)
-    xs = (x0 + jax.lax.broadcasted_iota(jnp.int32, (tile_h, cw), 1)
+    xs = (x0 - col_off
+          + jax.lax.broadcasted_iota(jnp.int32, (tile_h, cw), 1)
           ).astype(jnp.float32)
     x1 = jnp.round(xs + dx)
     y1 = jnp.round(ys + dy)
     inside = ((x1 >= 0) & (x1 <= W - 1) & (y1 >= 0) & (y1 <= H - 1)
               & (xs <= W - 1) & (ys <= H - 1))
-    xi = jnp.clip(x1, 0, W - 1).astype(jnp.int32)
-    yi = jnp.clip(y1, 0, H - 1).astype(jnp.int32)
+    if row_off or col_off:
+        # store layout: halo pixels (own coords outside the real image)
+        # never fetch — R0 fallback, zeroed by sc == 0 there
+        inside = inside & (xs >= 0) & (ys >= 0)
+    xi = jnp.clip(x1, 0, W - 1).astype(jnp.int32) + col_off
+    yi = jnp.clip(y1, 0, H - 1).astype(jnp.int32) + row_off
 
     row_in_band = jax.lax.broadcasted_iota(jnp.int32, (tile_h, cw), 0)
     xt = xi // TILE_W               # global lane-tile of the source
     lane = xi % TILE_W
+
+    def emit_viol(mask=None):
+        if viol_counts:
+            # per-band SMEM count, accumulated across the band's chunks
+            cnt = (jnp.float32(0.0) if mask is None
+                   else jnp.sum(mask.astype(jnp.float32)))
+            prev = jnp.where(jx == 0, jnp.float32(0.0), viol_ref[0, 0, i])
+            viol_ref[0, 0, i] = prev + cnt
+        else:
+            viol_ref[0, 0] = (jnp.zeros((tile_h, cw), jnp.float32)
+                              if mask is None
+                              else mask.astype(jnp.float32))
 
     def fetch_pass(load, sy, axt, active, gated=False, vmax=V_MAX,
                    sub_scalars=None):
@@ -887,60 +1151,71 @@ def _update_kernel_chunked(ay_ref, ax_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
             & (xt < axt + xt_tiles)
         act = active & in_w
         rel = lr - row_in_band
-        covered_cols = []
-        for j in range(cw // TILE_W):
-            sl = slice(j * TILE_W, (j + 1) * TILE_W)
-            aj = act[:, sl]
-            relj = rel[:, sl]
-            xtj = xt[:, sl]
-            lnj = lane[:, sl]
-            if sub_scalars is not None:
-                v_lo, t_lo = sub_scalars[j]
-            else:
-                v_lo = jnp.min(jnp.where(aj, relj, WIN_H))
-                t_lo = jnp.min(jnp.where(aj, xtj, axt + xt_tiles - 1))
-            cov = (aj & (relj < v_lo + vmax) & (xtj < t_lo + T_MAX))
-            covered_cols.append(cov)
-
-            def subtile_work(v_lo=v_lo, t_lo=t_lo, cov=cov, relj=relj,
-                             xtj=xtj, lnj=lnj, sl=sl, seed_fbuf=gated):
-                if seed_fbuf:
-                    acc = tuple(fbuf[c, :, sl] for c in range(5))
+        covered_rows = []
+        for rg in range(tile_h // 8):
+            rsl = slice(rg * 8, rg * 8 + 8)
+            covered_cols = []
+            for j in range(cw // TILE_W):
+                sl = slice(j * TILE_W, (j + 1) * TILE_W)
+                aj = act[rsl, sl]
+                relj = rel[rsl, sl]
+                xtj = xt[rsl, sl]
+                lnj = lane[rsl, sl]
+                if sub_scalars is not None:
+                    v_lo, t_lo = sub_scalars[rg * (cw // TILE_W) + j]
                 else:
-                    acc = tuple(jnp.zeros((tile_h, TILE_W), jnp.float32)
-                                for _ in range(5))
+                    v_lo = jnp.min(jnp.where(aj, relj, WIN_H))
+                    t_lo = jnp.min(jnp.where(aj, xtj, axt + xt_tiles - 1))
+                cov = (aj & (relj < v_lo + vmax) & (xtj < t_lo + T_MAX))
+                covered_cols.append(cov)
 
-                def kv_body(kv, acc):
-                    vv = v_lo + kv
-                    v8 = pl.multiple_of(
-                        jnp.clip((vv // 8) * 8, 0, WIN_H - 16), 8)
-                    sh = vv - v8
-                    for kt in range(T_MAX):
-                        t = jnp.clip(t_lo + kt, axt, axt + xt_tiles - 1)
-                        sel = cov & (relj == v_lo + kv) & (xtj == t)
-                        off = pl.multiple_of((t - axt) * TILE_W, TILE_W)
-                        new = []
-                        for c in range(5):
-                            blk16 = load(c, v8, off)
-                            diag = pltpu.roll(blk16, -sh, 0)[:tile_h]
-                            vals = jnp.take_along_axis(diag, lnj, axis=1)
-                            new.append(jnp.where(sel, vals, acc[c]))
-                        acc = tuple(new)
-                    return acc
+                def subtile_work(v_lo=v_lo, t_lo=t_lo, cov=cov, relj=relj,
+                                 xtj=xtj, lnj=lnj, rsl=rsl, sl=sl, rg=rg,
+                                 seed_fbuf=gated):
+                    if seed_fbuf:
+                        acc = tuple(fbuf[c, rsl, sl] for c in range(5))
+                    else:
+                        acc = tuple(jnp.zeros((8, TILE_W), jnp.float32)
+                                    for _ in range(5))
+
+                    def kv_body(kv, acc):
+                        # candidate v is relative to the band-local row;
+                        # this subtile's rows sit 8*rg below the band top
+                        vv = v_lo + kv + 8 * rg
+                        v8 = pl.multiple_of(
+                            jnp.clip((vv // 8) * 8, 0, WIN_H - 16), 8)
+                        sh = vv - v8
+                        for kt in range(T_MAX):
+                            t = jnp.clip(t_lo + kt, axt,
+                                         axt + xt_tiles - 1)
+                            sel = cov & (relj == v_lo + kv) & (xtj == t)
+                            off = pl.multiple_of((t - axt) * TILE_W,
+                                                 TILE_W)
+                            new = []
+                            for c in range(5):
+                                blk16 = load(c, v8, off)
+                                diag = pltpu.roll(blk16, -sh, 0)[:8]
+                                vals = jnp.take_along_axis(diag, lnj,
+                                                           axis=1)
+                                new.append(jnp.where(sel, vals, acc[c]))
+                            acc = tuple(new)
+                        return acc
+
+                    if gated:
+                        acc = jax.lax.fori_loop(0, vmax, kv_body, acc)
+                    else:
+                        for kv in range(vmax):
+                            acc = kv_body(kv, acc)
+                    for c in range(5):
+                        fbuf[c, rsl, sl] = acc[c]
 
                 if gated:
-                    acc = jax.lax.fori_loop(0, vmax, kv_body, acc)
+                    pl.when(jnp.any(aj))(subtile_work)
                 else:
-                    for kv in range(vmax):
-                        acc = kv_body(kv, acc)
-                for c in range(5):
-                    fbuf[c, :, sl] = acc[c]
-
-            if gated:
-                pl.when(jnp.any(aj))(subtile_work)
-            else:
-                subtile_work()
-        return jnp.concatenate(covered_cols, axis=-1)
+                    subtile_work()
+            covered_rows.append(jnp.concatenate(covered_cols, axis=-1))
+        return (covered_rows[0] if tile_h == 8
+                else jnp.concatenate(covered_rows, axis=0))
 
     def load_win1(c, v8, off):
         return win[slot, c, pl.ds(v8, 16), pl.ds(off, TILE_W)]
@@ -976,12 +1251,11 @@ def _update_kernel_chunked(ay_ref, ax_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
                 lambda c, v8, off: win2[c, pl.ds(v8, 16),
                                         pl.ds(off, TILE_W)],
                 sy2, sx2 // TILE_W, spill, gated=True, vmax=V2_MAX)
-            viol_ref[0, 0] = (spill & jnp.logical_not(covered2)
-                              ).astype(jnp.float32)
+            emit_viol(spill & jnp.logical_not(covered2))
 
         @pl.when(jnp.logical_not(jnp.any(spill)))
         def _():
-            viol_ref[0, 0] = jnp.zeros((tile_h, cw), jnp.float32)
+            emit_viol()
 
     # band-uniformity pre-sweep (see _update_kernel): one branch per block
     lr1 = yi - ay1
@@ -991,17 +1265,19 @@ def _update_kernel_chunked(ay_ref, ax_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
     rel1 = lr1 - row_in_band
     scalars1 = []
     uniform = jnp.all(in_w1 | jnp.logical_not(inside))
-    for j in range(cw // TILE_W):
-        sl = slice(j * TILE_W, (j + 1) * TILE_W)
-        aj = act1[:, sl]
-        relj = rel1[:, sl]
-        xtj = xt[:, sl]
-        v_lo = jnp.min(jnp.where(aj, relj, WIN_H))
-        v_hi = jnp.max(jnp.where(aj, relj, -1))
-        t_lo = jnp.min(jnp.where(aj, xtj, ax1 + xt_tiles - 1))
-        t_hi = jnp.max(jnp.where(aj, xtj, 0))
-        scalars1.append((v_lo, t_lo))
-        uniform = uniform & (v_hi <= v_lo) & (t_hi < t_lo + T_MAX)
+    for rg in range(tile_h // 8):
+        rsl = slice(rg * 8, rg * 8 + 8)
+        for j in range(cw // TILE_W):
+            sl = slice(j * TILE_W, (j + 1) * TILE_W)
+            aj = act1[rsl, sl]
+            relj = rel1[rsl, sl]
+            xtj = xt[rsl, sl]
+            v_lo = jnp.min(jnp.where(aj, relj, WIN_H))
+            v_hi = jnp.max(jnp.where(aj, relj, -1))
+            t_lo = jnp.min(jnp.where(aj, xtj, ax1 + xt_tiles - 1))
+            t_hi = jnp.max(jnp.where(aj, xtj, 0))
+            scalars1.append((v_lo, t_lo))
+            uniform = uniform & (v_hi <= v_lo) & (t_hi < t_lo + T_MAX)
 
     dma(slot, gi).wait()
 
@@ -1009,7 +1285,7 @@ def _update_kernel_chunked(ay_ref, ax_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
     def _():
         fetch_pass(load_win1, ay1, ax1, inside, vmax=1,
                    sub_scalars=scalars1)
-        viol_ref[0, 0] = jnp.zeros((tile_h, cw), jnp.float32)
+        emit_viol()
 
     @pl.when(jnp.logical_not(uniform))
     def _():
@@ -1026,18 +1302,32 @@ def _update_kernel_chunked(ay_ref, ax_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
     r2 = (r0[0] - jnp.where(inside, f0, 0.0)) * 0.5 + (r4 * dy + r6 * dx)
     r3 = (r0[1] - jnp.where(inside, f1, 0.0)) * 0.5 + (r6 * dy + r5 * dx)
 
-    sc = sc_ref[:]
+    if sc_ref is None:
+        sc = _analytic_sc(ys, xs, H, W)
+    else:
+        sc = sc_ref[:]
     r2 = r2 * sc
     r3 = r3 * sc
     r4 = r4 * sc
     r5 = r5 * sc
     r6 = r6 * sc
 
-    m_ref[0, 0] = r4 * r4 + r6 * r6
-    m_ref[0, 1] = (r4 + r5) * r6
-    m_ref[0, 2] = r5 * r5 + r6 * r6
-    m_ref[0, 3] = r4 * r2 + r6 * r3
-    m_ref[0, 4] = r6 * r2 + r5 * r3
+    mvals = (r4 * r4 + r6 * r6,
+             (r4 + r5) * r6,
+             r5 * r5 + r6 * r6,
+             r4 * r2 + r6 * r3,
+             r6 * r2 + r5 * r3)
+    if blur is None:
+        for c in range(5):
+            m_ref[0, c] = mvals[c]
+    else:
+        # fused blur+solve: M chunks accumulate in the full-width VMEM
+        # ring; band i's last chunk step emits flow band i-1.  m_ref is
+        # the (full-width) FLOW output block here.
+        _fused_blur_emit_chunked(m_ref, mbuf, mvals, i, jx, x0,
+                                 n_bands=n_bands, n_x=n_x, cw=cw,
+                                 tile_h=tile_h, h_img=H, w_img=W,
+                                 row_off=row_off, col_off=col_off, **blur)
 
 
 def _chunk_geometry(wp: int):
@@ -1072,7 +1362,7 @@ def _build_chunked(batch: int, h: int, wp2: int, h_real: int, w_real: int,
                          memory_space=pltpu.VMEM),          # flow block
             pl.BlockSpec((TILE_H, cw), scmap,
                          memory_space=pltpu.VMEM),          # border scale
-            pl.BlockSpec(memory_space=pltpu.ANY),           # R1 full (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),           # R1 full (HBM)
         ],
         out_specs=[
             pl.BlockSpec((1, 5, TILE_H, cw), bmap,

@@ -189,6 +189,20 @@ def _cases(quick: bool = False) -> List[Dict]:
     add("fused_iterate/store_spill", 2e-3, 1e-3,
         fused_case(64, 512, flow_mod=_spill_f))
 
+    # column-chunked fused variant (width > FUSED_BLUR_WS_LIMIT; round-4):
+    # 8K-class width runs the full-width M ring + per-chunk update on real
+    # Mosaic; the bimodal-spill case defeats the in-kernel pass-2 (two
+    # patches > WIN_H store rows apart) so the lax.cond fallback replay
+    # executes on device too
+    add("fused_iterate/chunked_8k_48x7680", 2e-3, 1e-3,
+        fused_case(48, 7680, B=1))
+
+    def _spill_bimodal(flow):
+        flow[:, 1, 4:6, 100:160] = 36.0
+        flow[:, 1, 4:6, 300:360] = 100.0
+    add("fused_iterate/chunked_spill_128x5000", 2e-3, 1e-3,
+        fused_case(128, 5000, B=1, flow_mod=_spill_bimodal))
+
     # --- gauss: pyramid smoothing (REFLECT_101) ---
     def gauss_case(ks, sigma, H=50, W=200, B=2):
         def run():

@@ -30,6 +30,7 @@ def interpret_mode():
     bs._build_store.cache_clear()
     ug._build_chunked.cache_clear()
     ug._build_fused_blur.cache_clear()
+    ug._build_fused_blur_chunked.cache_clear()
     yield
     pl.pallas_call = orig
     for m in (ug, bs, pe, ga, cz, gr):
@@ -37,6 +38,7 @@ def interpret_mode():
     bs._build_store.cache_clear()
     ug._build_chunked.cache_clear()
     ug._build_fused_blur.cache_clear()
+    ug._build_fused_blur_chunked.cache_clear()
 
 
 class TestUpdateGatherKernel:
@@ -372,6 +374,122 @@ class TestFusedUpdateBlur:
         assert np.all(np.abs(outs[True][0] - outs[False][0])
                       <= self.ATOL + self.RTOL * np.abs(outs[False][0]))
         assert np.array_equal(outs[True][1], outs[False][1])
+
+
+class TestFusedUpdateBlurChunked:
+    """fused_update_blur_store_chunked: the column-chunked fused step
+    (wide frames > MAX_WP) must perform the same adds in the same order
+    as blur_solve_store(update_matrices_store(...)) — the unchunked
+    reference runs fine at these test sizes on the SAME (chunk-padded)
+    store layout, since the extra dead right padding has sc == 0.  Chunk
+    geometry is shrunk via monkeypatch so interpret mode exercises real
+    multi-chunk grids (n_x >= 3); hardware truth at full 8K width comes
+    from the selftest.  Same CPU tolerance story as TestFusedUpdateBlur
+    (separate interpret compilations land one ulp apart)."""
+
+    ATOL, RTOL = 1e-6, 5e-4
+
+    def _close(self, out, ref):
+        return np.all(np.abs(out - ref) <= self.ATOL
+                      + self.RTOL * np.abs(ref))
+
+    def _store_pair_chunked(self, H, W, B=1, winsize=15, gaussian=False,
+                            seed=0, target=256):
+        import optical_flow_tpu.pallas.blur_solve as bs
+        import optical_flow_tpu.pallas.update_gather as ug
+        from optical_flow_tpu.models.farneback import core
+        orig = (ug.FUSED_BLUR_WS_LIMIT, ug.XCHUNK_TARGET)
+        ug.FUSED_BLUR_WS_LIMIT, ug.XCHUNK_TARGET = 256, target
+        try:
+            rng = np.random.default_rng(seed)
+            R0 = rng.standard_normal((B, 5, H, W)).astype(np.float32)
+            R1 = rng.standard_normal((B, 5, H, W)).astype(np.float32)
+            ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+            fl0 = np.stack([1.3 + xs / W + 0.5 * ys / H,
+                            -0.8 + ys / H])[None]
+            flow = np.broadcast_to(fl0, (B, 2, H, W)).astype(np.float32)
+            Hs = ((H + 15) // 16) * 16 + 32
+            Ws0 = ((W + 2 * ug.COL_OFF + 127) // 128) * 128
+            n_x, cw, _xw = ug._chunk_geometry(Ws0)
+            assert n_x >= 3, "test must exercise a real multi-chunk grid"
+            Ws = n_x * cw
+            pad = [(0, 0), (0, 0), (ug.ROW_OFF, Hs - ug.ROW_OFF - H),
+                   (ug.COL_OFF, Ws - ug.COL_OFF - W)]
+            R0p = jnp.pad(jnp.asarray(R0), pad)
+            R1p = jnp.pad(jnp.asarray(R1), pad)
+            flp = jnp.pad(jnp.asarray(flow), pad)
+            scp = core.border_scale_field_traced(H, W, Hs, Ws,
+                                                 ug.ROW_OFF, ug.COL_OFF)
+            Mst, _t = ug.update_matrices_store(R0p, R1p, flp, scp, H, W)
+            ref = np.asarray(bs.blur_solve_store(Mst, winsize, gaussian))
+            out, nvp = ug.fused_update_blur_store_chunked(
+                R0p, R1p, flp, H, W, winsize, gaussian)
+            return np.asarray(out), ref, int(np.asarray(nvp).sum())
+        finally:
+            ug.FUSED_BLUR_WS_LIMIT, ug.XCHUNK_TARGET = orig
+            ug._build_fused_blur_chunked.cache_clear()
+
+    def test_smooth_multichunk(self):
+        # Ws0 = 768 -> n_x=3 chunks of 256 lanes
+        out, ref, nv = self._store_pair_chunked(48, 700)
+        assert nv == 0
+        assert self._close(out, ref)
+
+    @pytest.mark.slow
+    def test_unaligned_split_bottom_patch(self):
+        # h=57: the 8-row bottom replicate halo spans two bands (n1=7,
+        # n2=1 -> the cross-band ring patch); W=530 pads Ws0 640 -> 768
+        # (dead right padding past the chunk multiple)
+        out, ref, nv = self._store_pair_chunked(57, 530, seed=1)
+        assert nv == 0
+        assert self._close(out, ref)
+
+    @pytest.mark.slow
+    def test_gaussian_window(self):
+        out, ref, nv = self._store_pair_chunked(48, 700, gaussian=True,
+                                                seed=2)
+        assert nv == 0
+        assert self._close(out, ref)
+
+    @pytest.mark.slow
+    def test_spill_fallback_matches_twokernel_loop(self):
+        """update_flow_fused's chunked branch: spilled frames replay the
+        exact wide-frame two-kernel path; tiers must match the unfused
+        loop exactly."""
+        import optical_flow_tpu.pallas.fused_iterate as fi
+        import optical_flow_tpu.pallas.update_gather as ug
+        rng = np.random.default_rng(4)
+        B, H, W = 1, 128, 700
+        R0 = jnp.asarray(rng.standard_normal((B, 5, H, W))
+                         .astype(np.float32))
+        R1 = jnp.asarray(rng.standard_normal((B, 5, H, W))
+                         .astype(np.float32))
+        fl = np.full((B, 2, H, W), 1.5, np.float32)
+        # two spill patches in one band, both above the pass-1 window and
+        # > WIN_H store rows apart, so the single re-anchored pass-2
+        # window (anchored at the min spilled row) cannot cover both —
+        # the in-kernel tiers are defeated and the lax.cond fallback MUST
+        # replay the frame
+        fl[:, 1, 4:6, 100:160] = 36.0        # target row ~40
+        fl[:, 1, 4:6, 300:360] = 100.0       # target row ~104
+        outs = {}
+        orig_fuse = fi.FUSE_UPDATE_BLUR
+        orig = (ug.FUSED_BLUR_WS_LIMIT, ug.XCHUNK_TARGET)
+        ug.FUSED_BLUR_WS_LIMIT, ug.XCHUNK_TARGET = 256, 256
+        try:
+            for fuse in (False, True):
+                fi.FUSE_UPDATE_BLUR = fuse
+                out, tiers = fi.update_flow_fused(
+                    R0, R1, jnp.asarray(fl), 15, 2)
+                outs[fuse] = (np.asarray(out), np.asarray(tiers))
+        finally:
+            fi.FUSE_UPDATE_BLUR = orig_fuse
+            ug.FUSED_BLUR_WS_LIMIT, ug.XCHUNK_TARGET = orig
+            ug._build_fused_blur_chunked.cache_clear()
+            ug._build_chunked.cache_clear()
+        assert outs[True][1][0] >= 1          # tier 2 fired (scan-summed)
+        assert np.all(np.abs(outs[True][0] - outs[False][0])
+                      <= self.ATOL + self.RTOL * np.abs(outs[False][0]))
 
 
 class TestGaussKernel:
