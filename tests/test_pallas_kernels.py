@@ -340,6 +340,7 @@ class TestFusedUpdateBlur:
         assert nv == 0
         assert self._close(out, ref)
 
+    @pytest.mark.slow
     def test_gaussian_window(self):
         out, ref, nv = self._store_pair(64, 200, gaussian=True, seed=2)
         assert nv == 0
@@ -429,6 +430,16 @@ class TestFusedUpdateBlurChunked:
             ug.FUSED_BLUR_WS_LIMIT, ug.XCHUNK_TARGET = orig
             ug._build_fused_blur_chunked.cache_clear()
 
+    def test_smooth_multichunk_min(self):
+        # smallest real multi-chunk geometry (Ws0 = 384 -> n_x=3 chunks
+        # of 128 lanes, Hs = 64 -> 4 bands): ~25 s in interpret mode, the
+        # fast-suite guard for the chunked fused step; the larger
+        # geometries below and the on-device selftest are the full truth
+        out, ref, nv = self._store_pair_chunked(17, 340, target=128)
+        assert nv == 0
+        assert self._close(out, ref)
+
+    @pytest.mark.slow
     def test_smooth_multichunk(self):
         # Ws0 = 768 -> n_x=3 chunks of 256 lanes
         out, ref, nv = self._store_pair_chunked(48, 700)
