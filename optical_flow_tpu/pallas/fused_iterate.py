@@ -66,6 +66,19 @@ def _ceil(a: int, m: int) -> int:
 # harness (benchmarks/exp_fused_blur.py).
 FUSE_UPDATE_BLUR = True
 
+# 32-row bands for the fused step: half the window DMAs and a 2.0x ->
+# 1.5x R1 overfetch (win_h = tile_h + 16 rows fetched per tile_h output
+# rows) — analytically ~12% less L0 iterate traffic.  MEASURED A LOSS
+# on v5e (benchmarks/exp_fused_tileh.py, 1080p B=16, bitwise-equal
+# outputs): smooth 149.8 -> 145.9 pairs/s with 32-row bands at L0+L1,
+# 148.2 restricted to L0 only; boundary flat.  The taller window DMA
+# plus the ~1.6x VMEM scratch (worse double-buffer overlap) eat the
+# byte cut — same verdict as the polyexp tile-height and 4K dbuf A/Bs:
+# the iterate is at its structural floor.  Default stays 16; the knob
+# and the 32-band emit machinery remain for the harness.
+FUSED_TILE_H_LARGE = 16
+FUSED_TILE32_MIN_H = 512
+
 
 def supported(h: int, w: int, winsize: int) -> bool:
     """True if the fused loop handles this level (both kernels eligible
@@ -91,6 +104,17 @@ def update_flow_fused(R0, R1, flow, winsize: int, iterations: int,
     Hs = _ceil(h, 16) + 32
     Ws = _ceil(w + 2 * COL_OFF, 128)
     use_fused = FUSE_UPDATE_BLUR and fused_blur_supported(h, w, winsize)
+    tile_h = (32 if (use_fused and FUSED_TILE_H_LARGE == 32
+                     and h >= FUSED_TILE32_MIN_H) else 16)
+    if tile_h == 32:
+        # 32-band layout: Hs a 32-multiple with the last band pure halo
+        # (rows >= Hs-32 must blur to exact zeros, which needs their
+        # 17-row windows past the replicated bottom M patch at rows
+        # <= ROW_OFF+h+7 — i.e. Hs >= h+64).  The two-kernel replay path
+        # runs tile-16 banding on the same layout (Hs is 16-aligned too)
+        # and zeroes only [Hs-16, Hs) outright; rows [Hs-32, Hs-16) have
+        # all-zero M windows there, so both schemes emit bitwise zeros.
+        Hs = _ceil(h + 64, 32)
     use_fused_chunked = (not use_fused and FUSE_UPDATE_BLUR
                          and fused_blur_chunked_supported(h, w, winsize))
     if use_fused_chunked:
@@ -113,7 +137,8 @@ def update_flow_fused(R0, R1, flow, winsize: int, iterations: int,
 
         def body(fl, _):
             flp, nvp = fused_update_blur_store(R0p, R1p, fl, h, w,
-                                               winsize, gaussian)
+                                               winsize, gaussian,
+                                               tile_h=tile_h)
 
             def slow(fl_in):
                 # exact recompute: the fused blur consumed M before the

@@ -182,7 +182,8 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
                    m_ref, viol_ref, win, win2, fbuf, sem, sem2, *,
                    h_real: int, w_real: int, n_bands: int, n_slots: int,
                    row_off: int = 0, col_off: int = 0,
-                   tile_h: int = TILE_H, fast: bool = True,
+                   tile_h: int = TILE_H, win_h: int = WIN_H,
+                   fast: bool = True,
                    split: bool = True, blur=None, mbuf=None,
                    viol_counts: bool = False):
     """Grid: (B * H/TILE_H,) row bands.  Each step processes an (TILE_H, W)
@@ -206,7 +207,7 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
     def dma(slot, step):
         return pltpu.make_async_copy(
             r1_hbm.at[step // n_bands, :,
-                      pl.ds(pl.multiple_of(anchors_ref[step], 8), WIN_H), :],
+                      pl.ds(pl.multiple_of(anchors_ref[step], 8), win_h), :],
             win.at[slot], sem.at[slot])
 
     slot = jax.lax.rem(gi, n_slots)
@@ -276,7 +277,7 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
         precomputed per-subtile (v_lo, t_lo) scalars (the uniformity
         pre-sweep already paid for them)."""
         lr = yi - sy
-        in_w = (lr >= 0) & (lr < WIN_H)
+        in_w = (lr >= 0) & (lr < win_h)
         act = active & in_w
         rel = lr - row_in_band
         covered_rows = []
@@ -292,7 +293,7 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
                 if sub_scalars is not None:
                     v_lo, t_lo = sub_scalars[rg * n_sub + j]
                 else:
-                    v_lo = jnp.min(jnp.where(aj, relj, WIN_H))
+                    v_lo = jnp.min(jnp.where(aj, relj, win_h))
                     t_lo = jnp.min(jnp.where(aj, xtj, n_sub - 1))
                 cov = (aj & (relj < v_lo + vmax) & (xtj < t_lo + T_MAX))
                 covered_cols.append(cov)
@@ -313,7 +314,7 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
                         # this subtile's rows sit 8*rg below the band top
                         vv = v_lo + kv + 8 * rg
                         v8 = pl.multiple_of(
-                            jnp.clip((vv // 8) * 8, 0, WIN_H - 16), 8)
+                            jnp.clip((vv // 8) * 8, 0, win_h - 16), 8)
                         sh = vv - v8
                         for kt in range(T_MAX):
                             t = jnp.minimum(t_lo + kt, n_sub - 1)
@@ -364,9 +365,9 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
             # second chance: window anchored at the spilled cluster
             sy2 = pl.multiple_of(jnp.clip(
                 (jnp.min(jnp.where(spill, yi, Hp - 1)) // 8) * 8,
-                0, Hp - WIN_H), 8)
+                0, Hp - win_h), 8)
             cp2 = pltpu.make_async_copy(
-                r1_hbm.at[gi // n_bands, :, pl.ds(sy2, WIN_H), :], win2,
+                r1_hbm.at[gi // n_bands, :, pl.ds(sy2, win_h), :], win2,
                 sem2)
             cp2.start()
             cp2.wait()
@@ -401,9 +402,9 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
         def _():
             sy2 = pl.multiple_of(jnp.clip(
                 (jnp.min(jnp.where(spill, yi, Hp - 1)) // 8) * 8,
-                0, Hp - WIN_H), 8)
+                0, Hp - win_h), 8)
             cp2 = pltpu.make_async_copy(
-                r1_hbm.at[gi // n_bands, :, pl.ds(sy2, WIN_H), :], win2,
+                r1_hbm.at[gi // n_bands, :, pl.ds(sy2, win_h), :], win2,
                 sem2)
             cp2.start()
             cp2.wait()
@@ -428,7 +429,7 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
         # every in-window pixel is covered, and the pre-sweep predicate
         # includes full window containment.
         lr1 = yi - anchors_ref[gi]
-        in_w1 = (lr1 >= 0) & (lr1 < WIN_H)
+        in_w1 = (lr1 >= 0) & (lr1 < win_h)
         act1 = inside & in_w1
         rel1 = lr1 - row_in_band
         scalars1 = []
@@ -440,7 +441,7 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
                 aj = act1[rsl, sl]
                 relj = rel1[rsl, sl]
                 xtj = xt[rsl, sl]
-                v_lo = jnp.min(jnp.where(aj, relj, WIN_H))
+                v_lo = jnp.min(jnp.where(aj, relj, win_h))
                 v_hi = jnp.max(jnp.where(aj, relj, -1))
                 t_lo = jnp.min(jnp.where(aj, xtj, n_sub - 1))
                 t_hi = jnp.max(jnp.where(aj, xtj, 0))
@@ -604,6 +605,11 @@ def _fused_blur_emit(fl_ref, mbuf, mvals, i, *, n_bands, tile_h, Wp,
                      h_img, row_off, m, taps, inv_area, fac):
     from optical_flow_tpu.pallas.blur_solve import _blur_solve_body
     PAD = COL_OFF                       # == blur_solve._PAD_S
+    # image row 0 sits at band-local row loc0 of band i0: loc0 == 0 in
+    # the classic tile_h == row_off layout (bands align with the top
+    # halo), loc0 == row_off when tile_h == 2*row_off (32-row bands over
+    # the same 16-row store offset; asserted in the build)
+    loc0 = row_off % tile_h
     # 1. shift the ring up one band, append this band's M
     for c in range(5):
         rolled = mbuf[c, tile_h:3 * tile_h, :]
@@ -612,14 +618,23 @@ def _fused_blur_emit(fl_ref, mbuf, mvals, i, *, n_bands, tile_h, Wp,
 
     # 2. replicate M row-halo patches (the store layout's 8-row top and
     # bottom fixes, update_matrices_store:1097-1100).  Top: store rows
-    # [row_off-8, row_off) <- image row 0 = this band's row 0 at i == 1
-    # (row_off == tile_h, asserted in the build); band 0 sits at ring
-    # rows [tile_h, 2*tile_h) post-shift, its last 8 rows are the halo.
-    @pl.when(i == 1)
-    def _():
-        for c in range(5):
-            mbuf[c, 2 * tile_h - 8:2 * tile_h, :] = jnp.broadcast_to(
-                mvals[c][0:1], (8, Wp))
+    # [row_off-8, row_off) <- image row 0.  loc0 == 0: image row 0 is
+    # band 1's row 0 and the halo is band 0's last 8 rows — band 0 sits
+    # at ring rows [tile_h, 2*tile_h) post-shift at i == 1.  loc0 > 0:
+    # halo and image row 0 are both inside band 0, patched in the
+    # just-appended slot at i == 0.
+    if loc0 == 0:
+        @pl.when(i == 1)
+        def _():
+            for c in range(5):
+                mbuf[c, 2 * tile_h - 8:2 * tile_h, :] = jnp.broadcast_to(
+                    mvals[c][0:1], (8, Wp))
+    else:
+        @pl.when(i == 0)
+        def _():
+            for c in range(5):
+                mbuf[c, 2 * tile_h + loc0 - 8:2 * tile_h + loc0, :] = \
+                    jnp.broadcast_to(mvals[c][loc0:loc0 + 1], (8, Wp))
 
     # Bottom: store rows (rb, rb+8] <- row rb (the last image row); they
     # span this band (n1 rows, patched from mvals at i == i_b) and
@@ -645,14 +660,19 @@ def _fused_blur_emit(fl_ref, mbuf, mvals, i, *, n_bands, tile_h, Wp,
                 mbuf[c, 2 * tile_h:2 * tile_h + n2, :] = jnp.broadcast_to(
                     src, (n2, Wp))
 
-    # 3. emit flow band i-1 (blur_solve_store semantics: bands 0 and
-    # n_bands-1 are pure halo -> zeros; written at i == 1 and i == 0)
-    @pl.when(i < 2)
+    # 3. emit flow band i-1 (blur_solve_store semantics: the pure-halo
+    # top/bottom rows are zeros).  loc0 == 0: bands 0 and n_bands-1 are
+    # entirely halo, written as zeros at i == 1 and i == 0.  loc0 > 0:
+    # only band n_bands-1 (i == 0) is pure halo; band 0 (i == 1) blurs
+    # normally and then zeroes its top loc0 halo rows.
+    blur_from = 2 if loc0 == 0 else 1
+
+    @pl.when(i < blur_from)
     def _():
         fl_ref[0, 0] = jnp.zeros((tile_h, Wp), jnp.float32)
         fl_ref[0, 1] = jnp.zeros((tile_h, Wp), jnp.float32)
 
-    @pl.when(i >= 2)
+    @pl.when(i >= blur_from)
     def _():
         fl_ref[0, 0, :, :PAD] = jnp.zeros((tile_h, PAD), jnp.float32)
         fl_ref[0, 1, :, :PAD] = jnp.zeros((tile_h, PAD), jnp.float32)
@@ -663,6 +683,13 @@ def _fused_blur_emit(fl_ref, mbuf, mvals, i, *, n_bands, tile_h, Wp,
         _blur_solve_body(mbuf, fl_ref, m=m, pad=PAD, out_w=Wp - 2 * PAD,
                          col0=PAD, inv_area=inv_area, taps=taps, fac=fac,
                          out_rows=tile_h, row0=tile_h - 8)
+        if loc0:
+            # band 0's top loc0 rows are the store's top halo (they also
+            # read ring garbage from the nonexistent band -1): zero them
+            @pl.when(i == 1)
+            def _():
+                fl_ref[0, 0, :loc0, :] = jnp.zeros((loc0, Wp), jnp.float32)
+                fl_ref[0, 1, :loc0, :] = jnp.zeros((loc0, Wp), jnp.float32)
 
 
 def _update_blur_kernel(anchors_ref, r0_ref, flow_ref, r1_hbm,
@@ -699,7 +726,12 @@ def _build_fused_blur(batch: int, h: int, w: int, h_real: int, w_real: int,
                       fast: bool = True, split: bool = True):
     from optical_flow_tpu.models.farneback.core import gaussian_window_kernel
     from optical_flow_tpu.pallas.blur_solve import _PAD_S, _factor
-    assert _PAD_S == COL_OFF and tile_h == ROW_OFF
+    # tile_h == ROW_OFF is the classic band-aligned layout; 2*ROW_OFF
+    # (32-row bands, round 4) halves the window DMA count and cuts the
+    # R1 overfetch from 2.0x to 1.5x (win_h = tile_h + 16 either way)
+    assert _PAD_S == COL_OFF and tile_h in (ROW_OFF, 2 * ROW_OFF)
+    assert h % tile_h == 0
+    win_h = tile_h + 16
     m = winsize // 2
     if gaussian:
         taps = tuple(float(t) for t in gaussian_window_kernel(winsize))
@@ -736,8 +768,8 @@ def _build_fused_blur(batch: int, h: int, w: int, h_real: int, w_real: int,
                          memory_space=pltpu.SMEM),          # spill counts
         ],
         scratch_shapes=[
-            pltpu.VMEM((n_slots, 5, WIN_H, w), jnp.float32),
-            pltpu.VMEM((5, WIN_H, w), jnp.float32),
+            pltpu.VMEM((n_slots, 5, win_h, w), jnp.float32),
+            pltpu.VMEM((5, win_h, w), jnp.float32),
             pltpu.VMEM((5, tile_h, w), jnp.float32),
             pltpu.VMEM((5, 3 * tile_h, w), jnp.float32),    # M ring
             pltpu.SemaphoreType.DMA((n_slots,)),
@@ -752,7 +784,7 @@ def _build_fused_blur(batch: int, h: int, w: int, h_real: int, w_real: int,
     # default, so raise the limit to the analytic need + headroom — this
     # is what lifts FUSED_BLUR_WS_LIMIT from 2304 (the old default-budget
     # ceiling) to MAX_WP.
-    scratch_rows = (n_slots * 5 * WIN_H + 5 * WIN_H + 5 * tile_h
+    scratch_rows = (n_slots * 5 * win_h + 5 * win_h + 5 * tile_h
                     + 5 * 3 * tile_h)
     block_rows = 2 * (5 * tile_h + 2 * tile_h + 2 * tile_h)
     vmem_need = (scratch_rows + block_rows) * w * 4
@@ -762,6 +794,7 @@ def _build_fused_blur(batch: int, h: int, w: int, h_real: int, w_real: int,
         functools.partial(_update_blur_kernel, h_real=h_real,
                           w_real=w_real, n_bands=n_bands, n_slots=n_slots,
                           row_off=ROW_OFF, col_off=COL_OFF, tile_h=tile_h,
+                          win_h=win_h,
                           fast=fast, split=split, viol_counts=True,
                           blur=dict(m=m, taps=taps, inv_area=inv_area,
                                     fac=fac)),
@@ -776,7 +809,8 @@ def _build_fused_blur(batch: int, h: int, w: int, h_real: int, w_real: int,
 
 
 def fused_update_blur_store(R0p, R1p, flowp, h: int, w: int,
-                            winsize: int, gaussian: bool = False):
+                            winsize: int, gaussian: bool = False,
+                            tile_h: int = 16):
     """One fully-fused iterate step in the store layout: displaced-fetch
     update + winsize box/Gaussian blur + regularized 2x2 solve in ONE
     kernel (optflowgf.cpp runs FarnebackUpdateMatrices +
@@ -793,7 +827,7 @@ def fused_update_blur_store(R0p, R1p, flowp, h: int, w: int,
     via the exact two-kernel path (the blur consumed uncorrected M) —
     see fused_iterate.update_flow_fused."""
     B, _, Hs, Ws = R0p.shape
-    tile_h = 16
+    win_h = tile_h + 16
     n_bands = Hs // tile_h
     cols = jnp.arange(Ws)
     col_real = (cols >= COL_OFF) & (cols < COL_OFF + w)
@@ -803,10 +837,10 @@ def fused_update_blur_store(R0p, R1p, flowp, h: int, w: int,
     yi_st = jnp.where(row_real & col_real[None, None, :], yi_st,
                       jnp.float32(h - 1 + ROW_OFF))
     ymin = jnp.min(yi_st.reshape(B, n_bands, tile_h, Ws), axis=(2, 3))
-    anchors = jnp.clip((ymin.astype(jnp.int32) // 8) * 8, 0, Hs - WIN_H)
+    anchors = jnp.clip((ymin.astype(jnp.int32) // 8) * 8, 0, Hs - win_h)
     anchors = anchors.reshape(B * n_bands)
     flow_st, counts = _build_fused_blur(
-        B, Hs, Ws, h, w, winsize, bool(gaussian),
+        B, Hs, Ws, h, w, winsize, bool(gaussian), tile_h=tile_h,
         fast=FAST_UNIFORM, split=SPLIT_NONUNIFORM)(
             anchors, R0p, flowp, R1p)     # sc computed in-kernel
     # per-band f32 counts are exact integers (<= 16*Ws < 2^24 per band)

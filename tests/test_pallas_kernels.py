@@ -301,7 +301,8 @@ class TestFusedUpdateBlur:
         return np.all(np.abs(out - ref) <= self.ATOL
                       + self.RTOL * np.abs(ref))
 
-    def _store_pair(self, H, W, B=2, winsize=15, gaussian=False, seed=0):
+    def _store_pair(self, H, W, B=2, winsize=15, gaussian=False, seed=0,
+                    tile_h=16):
         import optical_flow_tpu.pallas.blur_solve as bs
         import optical_flow_tpu.pallas.update_gather as ug
         from optical_flow_tpu.models.farneback import core
@@ -311,7 +312,11 @@ class TestFusedUpdateBlur:
         ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
         fl0 = np.stack([1.3 + xs / W + 0.5 * ys / H, -0.8 + ys / H])[None]
         flow = np.broadcast_to(fl0, (B, 2, H, W)).astype(np.float32)
-        Hs = ((H + 15) // 16) * 16 + 32
+        if tile_h == 32:
+            # 32-band layout: last band pure halo (fused_iterate rule)
+            Hs = ((H + 64 + 31) // 32) * 32
+        else:
+            Hs = ((H + 15) // 16) * 16 + 32
         Ws = ((W + 2 * ug.COL_OFF + 127) // 128) * 128
         pad = [(0, 0), (0, 0), (ug.ROW_OFF, Hs - ug.ROW_OFF - H),
                (ug.COL_OFF, Ws - ug.COL_OFF - W)]
@@ -323,14 +328,72 @@ class TestFusedUpdateBlur:
         Mst, _t = ug.update_matrices_store(R0p, R1p, flp, scp, H, W)
         ref = np.asarray(bs.blur_solve_store(Mst, winsize, gaussian))
         out, nvp = ug.fused_update_blur_store(R0p, R1p, flp, H, W,
-                                              winsize, gaussian)
+                                              winsize, gaussian,
+                                              tile_h=tile_h)
         return np.asarray(out), ref, int(np.asarray(nvp).sum())
+
+    def test_smooth_min(self):
+        # small fast-suite smoke for the full-width fused step (the
+        # larger cases and the on-device selftest are the full truth)
+        out, ref, nv = self._store_pair(33, 130, B=1)
+        assert nv == 0
+        assert self._close(out, ref)
 
     @pytest.mark.slow
     def test_smooth(self):
         out, ref, nv = self._store_pair(64, 200)
         assert nv == 0
         assert self._close(out, ref)
+
+    def test_tileh32_smooth_min(self):
+        # 32-row bands (win_h = 48, loc0 = 16 emit discipline): image
+        # row 0 mid-band, bottom patch split across bands at H=41
+        out, ref, nv = self._store_pair(41, 130, B=1, tile_h=32)
+        assert nv == 0
+        assert self._close(out, ref)
+
+    @pytest.mark.slow
+    def test_tileh32_unaligned(self):
+        out, ref, nv = self._store_pair(57, 130, B=1, seed=1, tile_h=32)
+        assert nv == 0
+        assert self._close(out, ref)
+
+    @pytest.mark.slow
+    def test_tileh32_gaussian(self):
+        out, ref, nv = self._store_pair(48, 200, B=1, gaussian=True,
+                                        seed=3, tile_h=32)
+        assert nv == 0
+        assert self._close(out, ref)
+
+    @pytest.mark.slow
+    def test_tileh32_spill_fallback(self):
+        """update_flow_fused on the 32-band layout: spilled frames must
+        replay the exact two-kernel path (flow + tiers match the unfused
+        loop)."""
+        import optical_flow_tpu.pallas.fused_iterate as fi
+        rng = np.random.default_rng(4)
+        B, H, W = 1, 64, 200
+        R0 = jnp.asarray(rng.standard_normal((B, 5, H, W))
+                         .astype(np.float32))
+        R1 = jnp.asarray(rng.standard_normal((B, 5, H, W))
+                         .astype(np.float32))
+        fl = np.full((B, 2, H, W), 1.5, np.float32)
+        fl[:, 1, 30:32, 100:160] = 45.0      # escapes the window
+        outs = {}
+        orig = (fi.FUSE_UPDATE_BLUR, fi.FUSED_TILE32_MIN_H)
+        try:
+            fi.FUSED_TILE32_MIN_H = 40       # let H=64 take the 32 path
+            for fuse in (False, True):
+                fi.FUSE_UPDATE_BLUR = fuse
+                out, tiers = fi.update_flow_fused(
+                    R0, R1, jnp.asarray(fl), 15, 2)
+                outs[fuse] = (np.asarray(out), np.asarray(tiers))
+        finally:
+            fi.FUSE_UPDATE_BLUR, fi.FUSED_TILE32_MIN_H = orig
+        assert outs[True][1][0] == 1          # tier 2 fired
+        assert np.all(np.abs(outs[True][0] - outs[False][0])
+                      <= self.ATOL + self.RTOL * np.abs(outs[False][0]))
+        assert np.array_equal(outs[True][1], outs[False][1])
 
     @pytest.mark.slow
     def test_unaligned_split_bottom_patch(self):
