@@ -198,19 +198,30 @@ def main():
         t3 = timed(j3, (R0, R1, fl))
         t1 = timed(j1, (R0, R1, fl))
         t_it = (t3 - t1) / 2.0
-        # per iteration: update reads R0 5ch + R1 win 5ch x (32/tile_h)
-        # + flow 2ch + sc 1ch, writes M 5ch + viol 1ch; blur reads M 5ch
-        # x ((16+2*8)/16 = 2.0) halo'd bands, writes flow 2ch.  All f32
-        # on the padded (Hs, Ws) store layout.
         px = B * Hs * Ws
-        upd = px * 4 * (5 + 5 * (32 / 16) + 2 + 1 + 5 + 1)
-        # + the XLA-side viol-mask reduce (reads the mask once)
-        blur = px * 4 * (5 * ((16 + 16) / 16) + 2)
-        xla_reduce = px * 4
-        nbytes = upd + blur + xla_reduce
-        stages.append(("iterate_per_iter_L%d" % lv.k, t_it, nbytes,
-                       "update(R0+2xR1win+flow+sc -> M+viol) + "
-                       "blur(2xM -> flow) + viol reduce, store layout"))
+        from optical_flow_tpu.pallas.fused_iterate import FUSE_UPDATE_BLUR
+        from optical_flow_tpu.pallas.update_gather import (
+            fused_blur_supported)
+        if FUSE_UPDATE_BLUR and fused_blur_supported(Hl, Wl,
+                                                     cfg.winsize):
+            # fused step: reads R0 5ch + R1 win 5ch x 2.0 overfetch +
+            # flow 2ch (sc analytic, M in the VMEM ring, viol a per-band
+            # SMEM count), writes flow 2ch.  + the XLA-side spill-count
+            # reduce (negligible) and the cond predicate.
+            nbytes = px * 4 * (5 + 5 * 2.0 + 2 + 2)
+            desc = ("fused update+blur (R0+2xR1win+flow -> flow, "
+                    "M ring in VMEM), store layout")
+        else:
+            # two-kernel path: update reads R0 5ch + R1 win 5ch x 2.0
+            # + flow 2ch + sc 1ch, writes M 5ch + viol 1ch; blur reads
+            # M 5ch x 2.0 halo'd bands, writes flow 2ch; + the XLA
+            # viol-mask reduce.
+            upd = px * 4 * (5 + 5 * 2.0 + 2 + 1 + 5 + 1)
+            blur = px * 4 * (5 * 2.0 + 2)
+            nbytes = upd + blur + px * 4
+            desc = ("update(R0+2xR1win+flow+sc -> M+viol) + "
+                    "blur(2xM -> flow) + viol reduce, store layout")
+        stages.append(("iterate_per_iter_L%d" % lv.k, t_it, nbytes, desc))
         # free this level's device arrays before the next (bigger) level
         # allocates — leftovers plus in-flight outputs exhausted HBM
         del img, R0, R1, fl
