@@ -101,6 +101,20 @@ def _pick_fused_update_flow(h: int, w: int, winsize: int):
     return None
 
 
+def _pick_poly_fused_update_flow(h: int, w: int, cfg):
+    """Polyexp-fused iterate loop (R never materialized in HBM) when the
+    full-width fused step, the Pallas polyexp and the fused-polyexp flag
+    all apply to this level."""
+    if _on_tpu() and min(h, w) >= 64:
+        from optical_flow_tpu.pallas.fused_iterate import (
+            FUSE_UPDATE_BLUR, poly_fused_supported, update_flow_fused_poly)
+        if (FUSE_UPDATE_BLUR
+                and poly_fused_supported(h, w, cfg.winsize, cfg.poly_n)
+                and _pick_poly_exp_fn(h, w) is not core.poly_exp):
+            return update_flow_fused_poly
+    return None
+
+
 def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
                   initial_flow=None, chain: bool = False, sp_kernels=None,
                   input_u8: bool = False):
@@ -158,11 +172,18 @@ def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
             h_full, w_full, lv.height, lv.width, 2 ** lv.k,
             ksize=len(kern), bf16=bool(input_u8))
             if use_pallas and sp_kernels is None else None)
+        # the polyexp-fused iterate consumes level IMAGES (it derives R
+        # in-kernel, pallas/fused_iterate.update_flow_fused_poly); the
+        # other paths materialize Rb below
+        poly_fused_fn = (_pick_poly_fused_update_flow(lv.height, lv.width,
+                                                      cfg)
+                         if use_pallas and sp_kernels is None else None)
+        imgs, pre_t, exact = None, None, False
         if gauss_resize_fn is not None:
             # smooth + downsample in one kernel (s-fold compute saving);
             # u8 frames stage the full-res input reads in bf16 (exact)
-            I = gauss_resize_fn(both, kern, 2 ** lv.k, exact_u8=input_u8)
-            Rb = poly_fn(I, cfg.poly_n, cfg.poly_sigma)
+            imgs = gauss_resize_fn(both, kern, 2 ** lv.k,
+                                   exact_u8=input_u8)
         elif (lv.height, lv.width) == (h_full, w_full):
             # k == 0: resize is the identity
             if (use_pallas and len(kern) == 3
@@ -171,19 +192,23 @@ def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
                 # polyexp kernel's VMEM pass (the separate full-res blur
                 # measured ~10 ms net at 1080p B=32); input_u8 additionally
                 # stages the window DMAs in bf16 (exact for u8 frames)
-                Rb = poly_fn(both, cfg.poly_n, cfg.poly_sigma,
-                             pre_taps=tuple(float(t) for t in kern),
-                             exact_u8=input_u8)
+                imgs = both
+                pre_t = tuple(float(t) for t in kern)
+                exact = bool(input_u8)
             else:
-                Rb = poly_fn(gauss_fn(both, kern), cfg.poly_n,
-                             cfg.poly_sigma)
+                imgs = gauss_fn(both, kern)
         else:
             sm = gauss_fn(both, kern)
-            I = resize_bilinear_f32(sm, lv.width, lv.height)
-            Rb = poly_fn(I, cfg.poly_n, cfg.poly_sigma)
-        # chain slices are free: the iterate loop pads (copies) its R
-        # operands anyway, and pad-of-slice fuses into the same copy
-        R0, R1 = (Rb[:-1], Rb[1:]) if chain else (Rb[:B], Rb[B:])
+            imgs = resize_bilinear_f32(sm, lv.width, lv.height)
+        if poly_fused_fn is None:
+            if pre_t is not None:
+                Rb = poly_fn(imgs, cfg.poly_n, cfg.poly_sigma,
+                             pre_taps=pre_t, exact_u8=exact)
+            else:
+                Rb = poly_fn(imgs, cfg.poly_n, cfg.poly_sigma)
+            # chain slices are free: the iterate loop pads (copies) its R
+            # operands anyway, and pad-of-slice fuses into the same copy
+            R0, R1 = (Rb[:-1], Rb[1:]) if chain else (Rb[:B], Rb[B:])
 
         if flow is None:
             if initial_flow is not None:
@@ -196,6 +221,15 @@ def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
             flow = resize_bilinear_f32(flow, lv.width, lv.height)
             flow = flow * jnp.float32(1.0 / cfg.pyr_scale)
 
+        if poly_fused_fn is not None:
+            img0, img1 = ((imgs[:-1], imgs[1:]) if chain
+                          else (imgs[:B], imgs[B:]))
+            flow, tiers = poly_fused_fn(
+                img0, img1, flow, cfg.winsize, cfg.iterations,
+                gaussian=cfg.gaussian_window, poly_n=cfg.poly_n,
+                poly_sigma=cfg.poly_sigma, pre_taps=pre_t, exact_u8=exact)
+            tiers_total = tiers_total + tiers
+            continue
         fused_fn = (_pick_fused_update_flow(lv.height, lv.width, cfg.winsize)
                     if use_pallas and sp_kernels is None else None)
         if fused_fn is not None:

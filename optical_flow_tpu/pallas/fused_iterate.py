@@ -66,6 +66,27 @@ def _ceil(a: int, m: int) -> int:
 # harness (benchmarks/exp_fused_blur.py).
 FUSE_UPDATE_BLUR = True
 
+# Round-4 final fusion attempt: compute the polynomial expansion INSIDE
+# the update kernel (pallas/update_gather._update_blur_poly_kernel) —
+# the 5-channel f32 R fields never exist in HBM.  Deletes the polyexp
+# stage's store + the iterate's R reads (R0 5ch + R1 windows 10ch-units
+# of the 19-unit fused iterate) in exchange for re-deriving R from
+# 1-channel raw windows each iteration.  Output bitwise-equal to the
+# materialized-R fused path (same moment_band op order).  MEASURED A
+# DECISIVE LOSS on v5e (benchmarks/exp_fused_polyexp.py, one process,
+# honest sync, 1080p B=16): smooth 151.1 -> 102.0 pairs/s (-32%),
+# boundary 98.0 -> 64.1 (-35%), outputs bitwise equal in both configs.
+# The polyexp split profiler's "compute is nearly free" verdict does
+# not transfer into this kernel: three moment_band call sites per band
+# (R1 window, R0 band, pass-2 window) triple the vertical-pass work at
+# window height (48 raw rows per 16 output rows), their ~24-rows/raw-row
+# VMEM temporaries (19.8 MB scoped at 576x1024) crowd out the DMA
+# overlap, and the rederivation repeats 3x per level what the
+# materialized path stores once.  OFF by default; kept behind the flag
+# so the A/B harness reproduces the measurement (same policy as
+# SPLIT_NONUNIFORM).  See docs/KERNELS.md "Roofline".
+FUSE_POLYEXP = False
+
 # 32-row bands for the fused step: half the window DMAs and a 2.0x ->
 # 1.5x R1 overfetch (win_h = tile_h + 16 rows fetched per tile_h output
 # rows) — analytically ~12% less L0 iterate traffic.  MEASURED A LOSS
@@ -181,6 +202,68 @@ def update_flow_fused(R0, R1, flow, winsize: int, iterations: int,
         def body(fl, _):
             Mst, tiers = update_matrices_store(R0p, R1p, fl, scp, h, w)
             return blur_solve_store(Mst, winsize, gaussian), tiers
+
+    flowp, tiers = jax.lax.scan(body, flowp, None, length=iterations)
+    return (flowp[:, :, ROW_OFF:ROW_OFF + h, COL_OFF:COL_OFF + w],
+            jnp.sum(tiers, axis=0))
+
+
+def poly_fused_supported(h: int, w: int, winsize: int, poly_n: int) -> bool:
+    """The polyexp-fused iterate: full-width fused shapes only, and the
+    polyexp halo must equal the store column offset (poly_n <= 8)."""
+    return (FUSE_POLYEXP and fused_blur_supported(h, w, winsize)
+            and 3 <= winsize <= 2 * _PAD_S + 1
+            and ((max(poly_n, 1) + 7) // 8) * 8 == COL_OFF)
+
+
+def update_flow_fused_poly(imgs0, imgs1, flow, winsize: int,
+                           iterations: int, gaussian: bool = False, *,
+                           poly_n: int, poly_sigma: float, pre_taps=None,
+                           exact_u8: bool = False):
+    """update_flow_fused with the polynomial expansion fused into the
+    update kernel: imgs0/imgs1 are the LEVEL IMAGES ((B, h, w); raw
+    frames when pre_taps carries the level-0 3-tap smooth), not R.
+    Spilled frames replay the exact materialized-R two-kernel path
+    (poly_exp_pallas + update_matrices_store + blur_solve_store) under
+    lax.cond, so flow and tier semantics stay bit-identical."""
+    from optical_flow_tpu.pallas.polyexp import (build_ip_store,
+                                                 poly_exp_pallas)
+    from optical_flow_tpu.pallas.update_gather import (
+        fused_update_blur_store_poly)
+    B, h, w = imgs0.shape
+    Hs = _ceil(h, 16) + 32
+    Ws = _ceil(w + 2 * COL_OFF, 128)
+    padf = [(0, 0), (0, 0), (ROW_OFF, Hs - ROW_OFF - h),
+            (COL_OFF, Ws - COL_OFF - w)]
+    flowp = jnp.pad(flow, padf)
+    pre_t = (None if pre_taps is None
+             else tuple(float(t) for t in pre_taps))
+    in_bf16 = bool(exact_u8) and pre_t is not None
+    ip0, aux0 = build_ip_store(imgs0, Hs, Ws, poly_n, pre_t, in_bf16)
+    ip1, aux1 = build_ip_store(imgs1, Hs, Ws, poly_n, pre_t, in_bf16)
+    scp = border_scale_field_traced(h, w, Hs, Ws, ROW_OFF, COL_OFF)
+
+    def body(fl, _):
+        flp, nvp = fused_update_blur_store_poly(
+            ip0, ip1, aux0, aux1, fl, h, w, winsize, gaussian,
+            poly_n=poly_n, poly_sigma=poly_sigma, pre_taps=pre_t,
+            in_bf16=in_bf16)
+
+        def slow(fl_in):
+            # exact recompute for spilled frames: materialize R the
+            # production way and run the two-kernel store path
+            R0 = poly_exp_pallas(imgs0, poly_n, poly_sigma,
+                                 pre_taps=pre_t, exact_u8=exact_u8)
+            R1 = poly_exp_pallas(imgs1, poly_n, poly_sigma,
+                                 pre_taps=pre_t, exact_u8=exact_u8)
+            Mst, _t = update_matrices_store(jnp.pad(R0, padf),
+                                            jnp.pad(R1, padf),
+                                            fl_in, scp, h, w)
+            return blur_solve_store(Mst, winsize, gaussian)
+
+        fl_next = jax.lax.cond(jnp.sum(nvp) > 0, slow,
+                               lambda _fl: flp, fl)
+        return fl_next, tier_flags(nvp)
 
     flowp, tiers = jax.lax.scan(body, flowp, None, length=iterations)
     return (flowp[:, :, ROW_OFF:ROW_OFF + h, COL_OFF:COL_OFF + w],

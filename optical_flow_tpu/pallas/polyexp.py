@@ -129,8 +129,42 @@ def _kernel_fused(ip_hbm, aux_ref, r_ref, win, sem, *, n: int, pad: int,
 
     dma(slot, gi).wait()
 
+    def emit(x0, cw, outs):
+        o_by, o_bx, o_ayy, o_axx, o_axy = outs
+        osl = slice(x0, x0 + cw)
+        r_ref[0, 0, :, osl] = o_by
+        r_ref[0, 1, :, osl] = o_bx
+        r_ref[0, 2, :, osl] = o_ayy
+        r_ref[0, 3, :, osl] = o_axx
+        r_ref[0, 4, :, osl] = o_axy
+
+    aux_rows = None if pre is None else (aux_ref[0, 0:1, :],
+                                         aux_ref[0, 1:2, :])
+    moment_band(win[slot], tile_h, emit, n=n, pad=pad, out_w=out_w,
+                g=g, xg=xg, xxg=xxg, ig11=ig11, ig03=ig03, ig33=ig33,
+                ig55=ig55, pre=pre, aux_rows=aux_rows,
+                abs_row0=(gi % n_bands) * tile_h,
+                h_real=h_real, w_real=w_real, in_bf16=in_bf16)
+
+
+def moment_band(w, nr, emit, *, n, pad, out_w, g, xg, xxg, ig11, ig03,
+                ig33, ig55, pre=None, aux_rows=None, abs_row0=0,
+                h_real=0, w_real=0, in_bf16=False):
+    """The polyexp band body on an explicit window.
+
+    w: (nr + 2*pad, wp) padded-input window (image col 0 at lane `pad`;
+    row r of the window is ip row abs_row0 + r, where ip row `pad` is
+    image row 0).  Computes the 5 channels for `nr` output rows and
+    hands each XCHUNK column block to `emit(x0, cw, (by, bx, ayy, axx,
+    axy))` with out lane 0 == image col 0.  Per-output-pixel op order is
+    position-independent, so any caller slicing windows out of the SAME
+    padded input array (pallas/update_gather's fused-polyexp update
+    does, at flow-dependent offsets) reproduces poly_exp_pallas's
+    values bitwise.  pre/aux_rows: the fused level-0 3-tap pre-smooth
+    and its v-smoothed edge rows (see _kernel_fused docstring)."""
+    rows = nr + 2 * pad
+    wp = w.shape[-1]
     cwv = tuple(ig03 * g[j] + ig33 * xxg[j] for j in range(2 * n + 1))
-    w = win[slot]                                 # (rows, wp)
     if in_bf16:
         # bf16 window DMA (half the HBM read); exact when the input is
         # u8-valued (integers <= 255 are exactly representable in bf16),
@@ -138,7 +172,6 @@ def _kernel_fused(ip_hbm, aux_ref, r_ref, win, sem, *, n: int, pad: int,
         w = w.astype(jnp.float32)
     if pre is not None:
         t0p, t1p, t2p = (jnp.float32(t) for t in pre)
-        i_band = gi % n_bands
         # vertical 3-tap; first/last window rows have no neighbors and
         # are never read by the moment passes (pad - n - 1 >= 1)
         zrow = jnp.zeros((1, wp), jnp.float32)
@@ -148,10 +181,10 @@ def _kernel_fused(ip_hbm, aux_ref, r_ref, win, sem, *, n: int, pad: int,
         # rows beyond the image: replicate-of-smoothed via the
         # precomputed v-smoothed edge rows (aux), which the horizontal
         # pass below then smooths like every other row
-        abs_row = (i_band * tile_h
+        abs_row = (abs_row0
                    + jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 0))
-        sm = jnp.where(abs_row < pad, aux_ref[0, 0:1, :], sm)
-        sm = jnp.where(abs_row > pad + h_real - 1, aux_ref[0, 1:2, :], sm)
+        sm = jnp.where(abs_row < pad, aux_rows[0], sm)
+        sm = jnp.where(abs_row > pad + h_real - 1, aux_rows[1], sm)
         # horizontal 3-tap (same zero-edge trick on the lane axis)
         zcol = jnp.zeros((rows, 1), jnp.float32)
         w = jnp.concatenate(
@@ -164,7 +197,7 @@ def _kernel_fused(ip_hbm, aux_ref, r_ref, win, sem, *, n: int, pad: int,
                       w[:, pad + w_real - 1:pad + w_real], w)
     rA = rB = rC = None
     for j in range(2 * n + 1):
-        t = w[pad - n + j: pad - n + j + tile_h, :]
+        t = w[pad - n + j: pad - n + j + nr, :]
         a = t * jnp.float32(g[j])
         b = t * jnp.float32(xg[j])
         c = t * jnp.float32(cwv[j])
@@ -191,13 +224,7 @@ def _kernel_fused(ip_hbm, aux_ref, r_ref, win, sem, *, n: int, pad: int,
             o_by = u_by if o_by is None else o_by + u_by
             o_axy = u_axy if o_axy is None else o_axy + u_axy
             o_ayy = u_ayy if o_ayy is None else o_ayy + u_ayy
-
-        osl = slice(x0, x0 + cw)
-        r_ref[0, 0, :, osl] = o_by
-        r_ref[0, 1, :, osl] = o_bx
-        r_ref[0, 2, :, osl] = o_ayy
-        r_ref[0, 3, :, osl] = o_axx
-        r_ref[0, 4, :, osl] = o_axy
+        emit(x0, cw, (o_by, o_bx, o_ayy, o_axx, o_axy))
 
 
 def _kernel(ip_hbm, r_ref, win, sem, *, n: int, pad: int, wp: int,
@@ -449,3 +476,59 @@ def poly_exp_pallas(img, poly_n: int, poly_sigma: float, pre_taps=None,
         (r32(pad + H - 2) * t0 + r32(pad + H - 1) * t1
          + r32(pad + H) * t2)], axis=1)               # (B, 2, wp)
     return kernel(ip, aux)[:, :, :H, :W]
+
+
+def build_ip_store(img, Hs: int, Ws: int, poly_n: int, pre_taps=None,
+                   exact_u8: bool = False):
+    """Padded polyexp input in the tall 'store-aligned' layout for the
+    fused-polyexp update kernel (pallas/update_gather.py).
+
+    Returns (ip, aux): ip is (B, Hs, Ws) with image pixel (0, 0) at
+    (pad, pad) — identical border construction to poly_exp_pallas's
+    builders (so any window sliced from it reproduces the production
+    kernel's input bitwise), just taller: rows beyond the original
+    hp + 2*pad stay zero/replicate and only ever feed outputs the
+    update kernel discards (sc == 0 / never-selected fetch rows).
+    pad == 8 == the store layout's COL_OFF, and Ws equals the store
+    width, so ip lanes align with store lanes.  aux is the (B, 2, Ws)
+    v-smoothed edge-row pair for the fused level-0 pre-smooth
+    (None when pre_taps is None)."""
+    B, H, W = img.shape
+    pad = _ceil(max(poly_n, 1), 8)
+    assert Ws >= W + 2 * pad and Hs >= H + 2 * pad
+    if pre_taps is None:
+        # replicate borders (levels k > 0: f32 smoothed-resized images)
+        ip = jnp.pad(img, [(0, 0), (pad, Hs - H - pad),
+                           (pad, Ws - W - pad)])
+        top = jnp.broadcast_to(ip[:, pad:pad + 1, :], (B, pad, Ws))
+        bot = jnp.broadcast_to(ip[:, pad + H - 1:pad + H, :], (B, pad, Ws))
+        ip = jax.lax.dynamic_update_slice(ip, top, (0, 0, 0))
+        ip = jax.lax.dynamic_update_slice(ip, bot, (0, pad + H, 0))
+        left = jnp.broadcast_to(ip[:, :, pad:pad + 1], (B, Hs, pad))
+        right = jnp.broadcast_to(ip[:, :, pad + W - 1:pad + W],
+                                 (B, Hs, pad))
+        ip = jax.lax.dynamic_update_slice(ip, left, (0, 0, 0))
+        ip = jax.lax.dynamic_update_slice(ip, right, (0, 0, pad + W))
+        return ip, None
+    # level 0: RAW pixels with the REFLECT_101 rows/cols the in-window
+    # 3-tap smooth needs adjacent to the image (same zdus construction
+    # as poly_exp_pallas; everything further out is rewritten by
+    # moment_band's border logic, so it stays zero)
+    use_bf16 = bool(exact_u8)
+    base = img.astype(jnp.bfloat16) if use_bf16 else img
+    ip = jnp.pad(base, [(0, 0), (pad, Hs - H - pad), (pad, Ws - W - pad)])
+    ip = jax.lax.dynamic_update_slice(
+        ip, ip[:, :, pad + 1:pad + 2], (0, 0, pad - 1))
+    ip = jax.lax.dynamic_update_slice(
+        ip, ip[:, :, pad + W - 2:pad + W - 1], (0, 0, pad + W))
+    ip = jax.lax.dynamic_update_slice(
+        ip, ip[:, pad + 1:pad + 2, :], (0, pad - 1, 0))
+    ip = jax.lax.dynamic_update_slice(
+        ip, ip[:, pad + H - 2:pad + H - 1, :], (0, pad + H, 0))
+    t0, t1, t2 = (float(t) for t in pre_taps)
+    r32 = lambda r: ip[:, r].astype(jnp.float32)  # noqa: E731
+    aux = jnp.stack([
+        r32(pad - 1) * t0 + r32(pad) * t1 + r32(pad + 1) * t2,
+        (r32(pad + H - 2) * t0 + r32(pad + H - 1) * t1
+         + r32(pad + H) * t2)], axis=1)               # (B, 2, Ws)
+    return ip, aux

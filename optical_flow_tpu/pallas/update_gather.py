@@ -185,7 +185,7 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
                    tile_h: int = TILE_H, win_h: int = WIN_H,
                    fast: bool = True,
                    split: bool = True, blur=None, mbuf=None,
-                   viol_counts: bool = False):
+                   viol_counts: bool = False, poly=None):
     """Grid: (B * H/TILE_H,) row bands.  Each step processes an (TILE_H, W)
     band of one batch element: one dynamic-window DMA (5, WIN_H, W)
     anchored at the band's minimum fetched row (precomputed at XLA level
@@ -199,16 +199,50 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
     gi = pl.program_id(0)
     n_total = pl.num_programs(0)
     i = gi % n_bands
-    Hp = r1_hbm.shape[2]
-    n_sub = r1_hbm.shape[3] // TILE_W
+    Hp = r1_hbm.shape[-2]
+    n_sub = r1_hbm.shape[-1] // TILE_W
+    Wp_full = r1_hbm.shape[-1]
     H = h_real            # clip/inside logic uses REAL image bounds
     W = w_real
 
-    def dma(slot, step):
-        return pltpu.make_async_copy(
-            r1_hbm.at[step // n_bands, :,
-                      pl.ds(pl.multiple_of(anchors_ref[step], 8), win_h), :],
-            win.at[slot], sem.at[slot])
+    if poly is None:
+        def dma(slot_, step):
+            return pltpu.make_async_copy(
+                r1_hbm.at[step // n_bands, :,
+                          pl.ds(pl.multiple_of(anchors_ref[step], 8),
+                                win_h), :],
+                win.at[slot_], sem.at[slot_])
+    else:
+        # fused-polyexp mode: r1_hbm is the padded INPUT image ip1
+        # (B, Hs, Ws — image row y at ip row y + pe_pad, see
+        # polyexp.build_ip_store); windows of RAW pixels are DMA'd and
+        # the polyexp moment passes run in-kernel, writing the 5-channel
+        # R window into `win` (the same shape the candidate machinery
+        # reads).  Per-pixel op order matches poly_exp_pallas exactly
+        # (pallas/polyexp.moment_band), so the computed R values — and
+        # therefore M, the tiers and the blurred flow — are bitwise
+        # equal to the materialized-R path.  ip row of store row r is
+        # r - row_off + pe_pad = r - 8 (pe_pad == col_off == 8).
+        from optical_flow_tpu.pallas.polyexp import moment_band
+        pe = poly["pe"]
+        raw1, raw0, raw2 = poly["raw1"], poly["raw0"], poly["raw2"]
+        ip0_hbm = poly["ip0"]
+        rwin1 = win_h + 16          # raw rows per R1 window
+        rwin0 = tile_h + 16         # raw rows per R0 band window
+
+        def dma(slot_, step):       # R1 raw window at the band's anchor
+            return pltpu.make_async_copy(
+                r1_hbm.at[step // n_bands,
+                          pl.ds(pl.multiple_of(anchors_ref[step] - 16, 8),
+                                rwin1), :],
+                raw1.at[slot_], sem.at[slot_])
+
+        def dma0(slot_, step):      # R0 raw window (static band rows)
+            st = jnp.maximum((step % n_bands) * tile_h - 16, 0)
+            return pltpu.make_async_copy(
+                ip0_hbm.at[step // n_bands,
+                           pl.ds(pl.multiple_of(st, 8), rwin0), :],
+                raw0.at[slot_], poly["sem0"].at[slot_])
 
     slot = jax.lax.rem(gi, n_slots)
     nslot = jax.lax.rem(gi + 1, n_slots)
@@ -216,14 +250,51 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
     @pl.when(gi == 0)
     def _():
         dma(slot, gi).start()
+        if poly is not None:
+            dma0(slot, gi).start()
 
     @pl.when((n_slots > 1) & (gi + 1 < n_total))
     def _():
         dma(nslot, gi + 1).start()
+        if poly is not None:
+            dma0(nslot, gi + 1).start()
 
     @pl.when((n_slots == 1) & (gi > 0))
     def _():
         dma(slot, gi).start()
+        if poly is not None:
+            dma0(slot, gi).start()
+
+    def wait_windows():
+        """Wait for this band's window(s); in fused-polyexp mode also run
+        the moment passes that turn the raw windows into R windows."""
+        dma(slot, gi).wait()
+        if poly is None:
+            return
+        dma0(slot, gi).wait()
+
+        def emit1(x0, cw, outs):
+            for c in range(5):
+                win[c, :, 8 + x0: 8 + x0 + cw] = outs[c]
+
+        moment_band(raw1[slot], win_h, emit1,
+                    abs_row0=anchors_ref[gi] - 16,
+                    aux_rows=poly["aux1"], **pe)
+
+        def emit0(x0, cw, outs):
+            for c in range(5):
+                r0_ref[c, :, 8 + x0: 8 + x0 + cw] = outs[c]
+
+        moment_band(raw0[slot], tile_h, emit0,
+                    abs_row0=jnp.maximum(i * tile_h - 16, 0),
+                    aux_rows=poly["aux0"], **pe)
+        # R0's lane halos feed (r * sc) with sc == 0 — any FINITE value;
+        # the emits never write them, so zero them (VMEM scratch is
+        # uninitialized and NaN * 0 would poison M)
+        for c in range(5):
+            r0_ref[c, :, :8] = jnp.zeros((tile_h, 8), jnp.float32)
+            r0_ref[c, :, Wp_full - 8:] = jnp.zeros((tile_h, 8),
+                                                   jnp.float32)
 
     dx = flow_ref[0, 0]
     dy = flow_ref[0, 1]
@@ -351,6 +422,8 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
                 else jnp.concatenate(covered_rows, axis=0))
 
     def load_win1(c, v8, off):
+        if poly is not None:    # computed R window: no slot axis
+            return win[c, pl.ds(v8, 16), pl.ds(off, TILE_W)]
         return win[slot, c, pl.ds(v8, 16), pl.ds(off, TILE_W)]
 
     def full_passes(sub_scalars=None):
@@ -365,12 +438,27 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
             # second chance: window anchored at the spilled cluster
             sy2 = pl.multiple_of(jnp.clip(
                 (jnp.min(jnp.where(spill, yi, Hp - 1)) // 8) * 8,
-                0, Hp - win_h), 8)
-            cp2 = pltpu.make_async_copy(
-                r1_hbm.at[gi // n_bands, :, pl.ds(sy2, win_h), :], win2,
-                sem2)
-            cp2.start()
-            cp2.wait()
+                16 if poly is not None else 0, Hp - win_h), 8)
+            if poly is None:
+                cp2 = pltpu.make_async_copy(
+                    r1_hbm.at[gi // n_bands, :, pl.ds(sy2, win_h), :],
+                    win2, sem2)
+                cp2.start()
+                cp2.wait()
+            else:
+                cp2 = pltpu.make_async_copy(
+                    r1_hbm.at[gi // n_bands,
+                              pl.ds(pl.multiple_of(sy2 - 16, 8), rwin1),
+                              :], raw2, sem2)
+                cp2.start()
+                cp2.wait()
+
+                def emit2(x0, cw, outs):
+                    for c in range(5):
+                        win2[c, :, 8 + x0: 8 + x0 + cw] = outs[c]
+
+                moment_band(raw2[...], win_h, emit2, abs_row0=sy2 - 16,
+                            aux_rows=poly["aux1"], **pe)
             covered2 = fetch_pass(
                 lambda c, v8, off: win2[c, pl.ds(v8, 16),
                                         pl.ds(off, TILE_W)],
@@ -402,12 +490,27 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
         def _():
             sy2 = pl.multiple_of(jnp.clip(
                 (jnp.min(jnp.where(spill, yi, Hp - 1)) // 8) * 8,
-                0, Hp - win_h), 8)
-            cp2 = pltpu.make_async_copy(
-                r1_hbm.at[gi // n_bands, :, pl.ds(sy2, win_h), :], win2,
-                sem2)
-            cp2.start()
-            cp2.wait()
+                16 if poly is not None else 0, Hp - win_h), 8)
+            if poly is None:
+                cp2 = pltpu.make_async_copy(
+                    r1_hbm.at[gi // n_bands, :, pl.ds(sy2, win_h), :],
+                    win2, sem2)
+                cp2.start()
+                cp2.wait()
+            else:
+                cp2 = pltpu.make_async_copy(
+                    r1_hbm.at[gi // n_bands,
+                              pl.ds(pl.multiple_of(sy2 - 16, 8), rwin1),
+                              :], raw2, sem2)
+                cp2.start()
+                cp2.wait()
+
+                def emit2(x0, cw, outs):
+                    for c in range(5):
+                        win2[c, :, 8 + x0: 8 + x0 + cw] = outs[c]
+
+                moment_band(raw2[...], win_h, emit2, abs_row0=sy2 - 16,
+                            aux_rows=poly["aux1"], **pe)
             covered2 = fetch_pass(
                 lambda c, v8, off: win2[c, pl.ds(v8, 16),
                                         pl.ds(off, TILE_W)],
@@ -448,7 +551,7 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
                 scalars1.append((v_lo, t_lo))
                 uniform = uniform & (v_hi <= v_lo) & (t_hi < t_lo + T_MAX)
 
-        dma(slot, gi).wait()
+        wait_windows()
 
         @pl.when(uniform)
         def _():
@@ -463,12 +566,12 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
             else:
                 full_passes(sub_scalars=scalars1)
     else:
-        dma(slot, gi).wait()
+        wait_windows()
         full_passes()
 
     fetched = jnp.stack([fbuf[c] for c in range(5)])
 
-    r0 = r0_ref[0]
+    r0 = r0_ref[0] if poly is None else r0_ref[...]
     f0 = fetched[0]
     f1 = fetched[1]
     r4 = jnp.where(inside, (r0[2] + fetched[2]) * 0.5, r0[2])
@@ -844,6 +947,187 @@ def fused_update_blur_store(R0p, R1p, flowp, h: int, w: int,
         fast=FAST_UNIFORM, split=SPLIT_NONUNIFORM)(
             anchors, R0p, flowp, R1p)     # sc computed in-kernel
     # per-band f32 counts are exact integers (<= 16*Ws < 2^24 per band)
+    n_viol_per = jnp.sum(counts, axis=(1, 2)).astype(jnp.int32)
+    return flow_st, n_viol_per
+
+
+def _update_blur_poly_kernel(*refs, has_aux: bool, pe, blur, kw):
+    """Fused polyexp + update + blur + solve: the R operands are never
+    materialized in HBM — raw padded-image windows (polyexp.build_ip_store
+    layout) are DMA'd per band and polyexp.moment_band turns them into
+    the R0 band / anchored R1 window in VMEM, bitwise-equal to
+    poly_exp_pallas's output (same per-pixel op order).  Everything
+    downstream (candidate block, tiers, M ring, blur) is the fused
+    update+blur kernel unchanged."""
+    if has_aux:
+        (anchors_ref, flow_ref, aux0_ref, aux1_ref, ip0, ip1, fl_ref,
+         viol_ref, winR, win2R, r0R, fbuf, mbuf, raw1, raw0, raw2,
+         sem1, sem0, sem2r) = refs
+        aux0 = (aux0_ref[0, 0:1, :], aux0_ref[0, 1:2, :])
+        aux1 = (aux1_ref[0, 0:1, :], aux1_ref[0, 1:2, :])
+    else:
+        (anchors_ref, flow_ref, ip0, ip1, fl_ref, viol_ref, winR, win2R,
+         r0R, fbuf, mbuf, raw1, raw0, raw2, sem1, sem0, sem2r) = refs
+        aux0 = aux1 = None
+    poly = dict(pe=pe, raw1=raw1, raw0=raw0, raw2=raw2, ip0=ip0,
+                sem0=sem0, aux0=aux0, aux1=aux1)
+    _update_kernel(anchors_ref, r0R, flow_ref, None, ip1, fl_ref,
+                   viol_ref, winR, win2R, fbuf, sem1, sem2r,
+                   mbuf=mbuf, blur=blur, poly=poly, **kw)
+
+
+@functools.lru_cache(maxsize=16)
+def _build_fused_blur_poly(batch: int, h: int, w: int, h_real: int,
+                           w_real: int, winsize: int, gaussian: bool,
+                           poly_n: int, poly_sigma: float, pre_taps,
+                           in_bf16: bool, tile_h: int = 16,
+                           fast: bool = True, split: bool = True):
+    from optical_flow_tpu.models.farneback.core import gaussian_window_kernel
+    from optical_flow_tpu.models.farneback.params import poly_exp_weights
+    from optical_flow_tpu.pallas.blur_solve import _PAD_S, _factor
+    assert _PAD_S == COL_OFF and tile_h == ROW_OFF
+    pe_pad = ((max(poly_n, 1) + 7) // 8) * 8
+    assert pe_pad == COL_OFF, "fused polyexp needs the polyexp pad to " \
+        "match the store column offset (poly_n <= 8)"
+    win_h = tile_h + 16
+    g, xg, xxg, ig11, ig03, ig33, ig55 = poly_exp_weights(poly_n,
+                                                          poly_sigma)
+    pe = dict(n=poly_n, pad=pe_pad, out_w=w - 2 * pe_pad,
+              g=tuple(float(x) for x in g),
+              xg=tuple(float(x) for x in xg),
+              xxg=tuple(float(x) for x in xxg),
+              ig11=ig11, ig03=ig03, ig33=ig33, ig55=ig55,
+              pre=pre_taps, h_real=h_real, w_real=w_real,
+              in_bf16=in_bf16)
+    m = winsize // 2
+    if gaussian:
+        taps = tuple(float(t) for t in gaussian_window_kernel(winsize))
+        inv_area, fac = 1.0, None
+    else:
+        taps = None
+        inv_area, fac = 1.0 / (winsize * winsize), _factor(winsize)
+    n_bands = h // tile_h
+    has_aux = pre_taps is not None
+    raw_dtype = jnp.bfloat16 if in_bf16 else jnp.float32
+
+    def bmap(gi, _anchors):
+        return (gi // n_bands, 0, gi % n_bands, 0)
+
+    def smap(gi, _anchors):      # flow: band i-1 (i == 0 -> last band)
+        return (gi // n_bands, 0, (gi % n_bands - 1) % n_bands, 0)
+
+    def vmap_(gi, _anchors):     # per-band spill counts (SMEM row)
+        return (gi // n_bands, 0, 0)
+
+    def amap(gi, _anchors):      # aux: per-frame v-smoothed edge rows
+        return (gi // n_bands, 0, 0)
+
+    n_slots = 2 if w <= DBUF_W_LIMIT else 1
+    in_specs = [pl.BlockSpec((1, 2, tile_h, w), bmap,
+                             memory_space=pltpu.VMEM)]          # flow band
+    if has_aux:
+        in_specs += [pl.BlockSpec((1, 2, w), amap,
+                                  memory_space=pltpu.VMEM)] * 2  # aux0/1
+    in_specs += [pl.BlockSpec(memory_space=pl.ANY),              # ip0
+                 pl.BlockSpec(memory_space=pl.ANY)]              # ip1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(batch * n_bands,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 2, tile_h, w), smap,
+                         memory_space=pltpu.VMEM),          # flow out
+            pl.BlockSpec((1, 1, n_bands), vmap_,
+                         memory_space=pltpu.SMEM),          # spill counts
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((5, win_h, w), jnp.float32),          # R1 window
+            pltpu.VMEM((5, win_h, w), jnp.float32),          # pass-2 win
+            pltpu.VMEM((5, tile_h, w), jnp.float32),         # R0 band
+            pltpu.VMEM((5, tile_h, w), jnp.float32),         # fbuf
+            pltpu.VMEM((5, 3 * tile_h, w), jnp.float32),     # M ring
+            pltpu.VMEM((n_slots, win_h + 16, w), raw_dtype),  # raw R1
+            pltpu.VMEM((n_slots, tile_h + 16, w), raw_dtype),  # raw R0
+            pltpu.VMEM((win_h + 16, w), raw_dtype),          # raw pass-2
+            pltpu.SemaphoreType.DMA((n_slots,)),
+            pltpu.SemaphoreType.DMA((n_slots,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    raw_frac = 0.5 if in_bf16 else 1.0
+    scratch_rows = (2 * 5 * win_h + 5 * tile_h + 5 * tile_h
+                    + 5 * 3 * tile_h
+                    + raw_frac * (n_slots * (win_h + 16)
+                                  + n_slots * (tile_h + 16)
+                                  + (win_h + 16))
+                    # moment_band live temporaries: 24 f32 rows per RAW
+                    # window row (polyexp._build's calibrated form) at
+                    # EACH of the three in-kernel call sites (R1 window,
+                    # R0 band, pass-2 window) — Mosaic stack-allocates
+                    # them without cross-call reuse (576x1024 measured
+                    # 19.76M scoped vs 7.5M with a single-site term)
+                    + 24 * ((win_h + 16) + (tile_h + 16) + (win_h + 16)))
+    block_rows = 2 * (2 * tile_h + 2 * tile_h + (2 * 2 if has_aux else 0))
+    vmem_need = int((scratch_rows + block_rows) * w * 4)
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=max(vmem_need + (8 << 20), 16 << 20))
+    kw = dict(h_real=h_real, w_real=w_real, n_bands=n_bands,
+              n_slots=n_slots, row_off=ROW_OFF, col_off=COL_OFF,
+              tile_h=tile_h, win_h=win_h, fast=fast, split=split,
+              viol_counts=True)
+    kernel = pl.pallas_call(
+        functools.partial(_update_blur_poly_kernel, has_aux=has_aux,
+                          pe=pe, blur=dict(m=m, taps=taps,
+                                           inv_area=inv_area, fac=fac),
+                          kw=kw),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, 2, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((batch, 1, n_bands), jnp.float32),
+        ],
+        compiler_params=params,
+    )
+    return kernel
+
+
+def fused_update_blur_store_poly(ip0, ip1, aux0, aux1, flowp, h: int,
+                                 w: int, winsize: int,
+                                 gaussian: bool = False, *,
+                                 poly_n: int, poly_sigma: float,
+                                 pre_taps=None, in_bf16: bool = False):
+    """One fully-fused polyexp + iterate step in the store layout: the
+    5-channel R fields never exist in HBM.  ip0/ip1 are the frames'
+    padded polyexp inputs (polyexp.build_ip_store, (B, Hs, Ws) — Hs/Ws
+    must match flowp's store layout), aux0/aux1 the level-0 v-smoothed
+    edge rows (None unless pre_taps).  Returns (flow_st, n_viol_per),
+    bitwise equal to fused_update_blur_store on R = poly_exp_pallas(img)
+    whenever n_viol_per == 0; spilled frames MUST be replayed by the
+    caller through the exact materialized-R path (fused_iterate)."""
+    B, _, Hs, Ws = flowp.shape
+    assert ip0.shape == (B, Hs, Ws) and ip1.shape == (B, Hs, Ws)
+    tile_h = 16
+    win_h = tile_h + 16
+    n_bands = Hs // tile_h
+    cols = jnp.arange(Ws)
+    col_real = (cols >= COL_OFF) & (cols < COL_OFF + w)
+    ys_log = jnp.arange(Hs, dtype=jnp.float32)[None, :, None] - ROW_OFF
+    row_real = (ys_log >= 0) & (ys_log <= h - 1)
+    yi_st = jnp.clip(jnp.round(ys_log + flowp[:, 1]), 0, h - 1) + ROW_OFF
+    yi_st = jnp.where(row_real & col_real[None, None, :], yi_st,
+                      jnp.float32(h - 1 + ROW_OFF))
+    ymin = jnp.min(yi_st.reshape(B, n_bands, tile_h, Ws), axis=(2, 3))
+    anchors = jnp.clip((ymin.astype(jnp.int32) // 8) * 8, 16,
+                       Hs - win_h)
+    anchors = anchors.reshape(B * n_bands)
+    kernel = _build_fused_blur_poly(
+        B, Hs, Ws, h, w, winsize, bool(gaussian), int(poly_n),
+        float(poly_sigma),
+        None if pre_taps is None else tuple(float(t) for t in pre_taps),
+        bool(in_bf16), fast=FAST_UNIFORM, split=SPLIT_NONUNIFORM)
+    if pre_taps is not None:
+        flow_st, counts = kernel(anchors, flowp, aux0, aux1, ip0, ip1)
+    else:
+        flow_st, counts = kernel(anchors, flowp, ip0, ip1)
     n_viol_per = jnp.sum(counts, axis=(1, 2)).astype(jnp.int32)
     return flow_st, n_viol_per
 

@@ -440,6 +440,86 @@ class TestFusedUpdateBlur:
         assert np.array_equal(outs[True][1], outs[False][1])
 
 
+class TestFusedUpdateBlurPoly:
+    """update_flow_fused_poly (polyexp fused into the update kernel; R
+    never in HBM) must match poly_exp_pallas + update_flow_fused — the
+    in-kernel moment_band shares the per-pixel op order, so hardware is
+    bitwise equal (asserted by benchmarks/exp_fused_polyexp.py on v5e);
+    interpret mode gates at the usual one-ulp-per-compilation tolerance.
+    The path is OFF in production (FUSE_POLYEXP=False: measured -32%
+    smooth / -35% boundary, see docs/KERNELS.md) — these tests keep the
+    flagged code exact so the A/B harness stays reproducible."""
+
+    ATOL, RTOL = 1e-6, 5e-4
+
+    def _pair(self, H, W, B=1, winsize=15, iterations=2, seed=0,
+              spill=False):
+        import optical_flow_tpu.pallas.fused_iterate as fi
+        from optical_flow_tpu.pallas.polyexp import poly_exp_pallas
+        rng = np.random.default_rng(seed)
+        imgs0 = jnp.asarray(
+            (rng.random((B, H, W)) * 255).astype(np.float32))
+        imgs1 = jnp.asarray(
+            (rng.random((B, H, W)) * 255).astype(np.float32))
+        if spill:
+            # two spill patches > WIN_H apart (same construction as the
+            # chunked spill test): the single re-anchored pass-2 window
+            # cannot cover both, forcing the tier-2 replay branch — the
+            # poly kernel's taller raw windows absorb a single 45-row
+            # patch that spills the materialized-R kernel
+            fl = np.full((B, 2, H, W), 1.5, np.float32)
+            fl[:, 1, 4:6, 100:160] = 36.0    # target row ~40
+            fl[:, 1, 4:6, 160:190] = 100.0   # target row ~104
+        else:
+            fl = np.zeros((B, 2, H, W), np.float32)
+            fl[:, 0] = 1.3
+            fl[:, 1] = -0.8
+        flow = jnp.asarray(fl)
+        out_p, tiers_p = fi.update_flow_fused_poly(
+            imgs0, imgs1, flow, winsize, iterations,
+            poly_n=5, poly_sigma=1.2)
+        R0 = poly_exp_pallas(imgs0, 5, 1.2)
+        R1 = poly_exp_pallas(imgs1, 5, 1.2)
+        orig = fi.FUSE_UPDATE_BLUR
+        try:
+            fi.FUSE_UPDATE_BLUR = True
+            out_m, tiers_m = fi.update_flow_fused(
+                R0, R1, flow, winsize, iterations)
+        finally:
+            fi.FUSE_UPDATE_BLUR = orig
+        return (np.asarray(out_p), np.asarray(tiers_p),
+                np.asarray(out_m), np.asarray(tiers_m))
+
+    def _close(self, out, ref):
+        return np.all(np.abs(out - ref) <= self.ATOL
+                      + self.RTOL * np.abs(ref))
+
+    @pytest.mark.slow
+    def test_smooth_min(self):
+        # slow (81s interpret-mode compile) and the path is OFF in
+        # production (FUSE_POLYEXP=False); full-scale truth is the
+        # on-device A/B (which asserts bitwise equality of whole-pipeline
+        # flow)
+        out_p, tiers_p, out_m, tiers_m = self._pair(33, 130)
+        assert tiers_p.sum() == 0 and tiers_m.sum() == 0
+        assert self._close(out_p, out_m)
+
+    @pytest.mark.slow
+    def test_unaligned(self):
+        out_p, tiers_p, out_m, tiers_m = self._pair(57, 150, seed=1,
+                                                    iterations=3)
+        assert self._close(out_p, out_m)
+        assert np.array_equal(tiers_p, tiers_m)
+
+    @pytest.mark.slow
+    def test_spill_replays_materialized_path(self):
+        out_p, tiers_p, out_m, tiers_m = self._pair(128, 200, seed=2,
+                                                    spill=True)
+        assert tiers_p[0] >= 1               # tier 2 fired (scan-summed)
+        assert np.array_equal(tiers_p, tiers_m)
+        assert self._close(out_p, out_m)
+
+
 class TestFusedUpdateBlurChunked:
     """fused_update_blur_store_chunked: the column-chunked fused step
     (wide frames > MAX_WP) must perform the same adds in the same order
