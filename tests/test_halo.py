@@ -88,9 +88,12 @@ class TestStageEquality:
                                    atol=1e-4, rtol=1e-5)
         assert np.asarray(tiers).tolist() == [0, 0]
 
+    @pytest.mark.slow
     def test_update_cross_seam_spill(self):
         """Displacements past the halo (|dy| > WIN_H across a shard seam)
-        must go through the bounded seam correction and still match."""
+        must go through the bounded seam correction and still match.
+        slow: sp only engages at 8K-class frames, off the default path;
+        the in-halo sp update test above stays in the fast suite."""
         R0, R1, flow = self._update_inputs()
         flow[:, 1, 60:64, 40:90] = 45.0        # shard 0 -> deep in shard 1
         hk = HaloKernels(_mesh(2, 2), use_pallas=False)

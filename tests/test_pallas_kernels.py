@@ -156,7 +156,10 @@ class TestUpdateGatherChunked:
         # plus the pad path in the default suite
         self._check_chunked(40, 800)           # n_x=4, cw=256
 
+    @pytest.mark.slow
     def test_unaligned_width(self):
+        # slow: the chunked variant only engages past MAX_WP (5K+ widths),
+        # off the default 1080p/4K path; selftest covers it on device
         self._check_chunked(40, 777)           # pad to chunk multiple
 
     @pytest.mark.slow
@@ -345,9 +348,13 @@ class TestFusedUpdateBlur:
         assert nv == 0
         assert self._close(out, ref)
 
+    @pytest.mark.slow
     def test_tileh32_smooth_min(self):
         # 32-row bands (win_h = 48, loc0 = 16 emit discipline): image
-        # row 0 mid-band, bottom patch split across bands at H=41
+        # row 0 mid-band, bottom patch split across bands at H=41.
+        # slow: the 32-band layout only engages at 4K-class heights
+        # (FUSED_TILE32_MIN_H), off the default 1080p path; interpret-mode
+        # compile costs ~40 s that the fast suite shouldn't pay.
         out, ref, nv = self._store_pair(41, 130, B=1, tile_h=32)
         assert nv == 0
         assert self._close(out, ref)
@@ -573,11 +580,13 @@ class TestFusedUpdateBlurChunked:
             ug.FUSED_BLUR_WS_LIMIT, ug.XCHUNK_TARGET = orig
             ug._build_fused_blur_chunked.cache_clear()
 
+    @pytest.mark.slow
     def test_smooth_multichunk_min(self):
         # smallest real multi-chunk geometry (Ws0 = 384 -> n_x=3 chunks
-        # of 128 lanes, Hs = 64 -> 4 bands): ~25 s in interpret mode, the
-        # fast-suite guard for the chunked fused step; the larger
-        # geometries below and the on-device selftest are the full truth
+        # of 128 lanes, Hs = 64 -> 4 bands): ~25 s in interpret mode; the
+        # larger geometries below and the on-device selftest are the full
+        # truth.  slow: chunking engages only past MAX_WP (5K+ widths),
+        # off the default path the fast suite guards.
         out, ref, nv = self._store_pair_chunked(17, 340, target=128)
         assert nv == 0
         assert self._close(out, ref)

@@ -43,7 +43,11 @@ class TestMesh:
         ref = np.asarray(calc_flow_batched(prev, nxt))
         np.testing.assert_allclose(out, ref, atol=1e-4)
 
+    @pytest.mark.slow
     def test_extract_step_sums(self, batch):
+        # slow: the 4x2 dp-x-sp mesh; sp engages only at 8K-class frames.
+        # The pure-dp 8x1 variant below (the production TPU path) stays
+        # in the fast suite.
         prev, nxt = batch
         mesh = make_mesh(4, 2)
         sums = np.asarray(sharded_extract_step(

@@ -300,7 +300,7 @@ class TestMemoryBounds:
         from optical_flow_tpu.pipeline import extractor
 
         path = str(tmp_path / "long.mp4")
-        write_synthetic_video(path, n_frames=450, h=96, w=128, fps=25.0,
+        write_synthetic_video(path, n_frames=240, h=96, w=128, fps=25.0,
                               seed=3)
         cfg = ExtractorConfig(frame_width=0)      # full-res, the worst case
         ref_mags, ref_ts = extractor.extract_video(path, cfg)
@@ -309,7 +309,7 @@ class TestMemoryBounds:
         mags, ts = extractor.extract_video(path, cfg)
         peak = extractor.LAST_RUN_COUNTERS["peak_live_frames"]
         decoded = extractor.LAST_RUN_COUNTERS["frames_decoded"]
-        assert decoded >= 100
+        assert decoded >= 60
         # ~2 endpoints per window over a chunk of 8 windows, plus margin
         assert peak <= 40, f"peak_live_frames={peak} not bounded"
         assert peak < decoded / 3
@@ -353,7 +353,11 @@ class TestVisualizerDegenerate:
 
 
 class TestWarmup:
+    @pytest.mark.slow
     def test_warmup_compiles(self):
+        # slow: pure smoke at off-production shapes; the two
+        # precompiles_production tests below assert the same APIs
+        # against the real dispatch cache and stay in the fast suite
         from optical_flow_tpu.utils.warmup import (
             warmup_extractor, warmup_flow, warmup_visualizer)
         warmup_flow(48, 64, batch=2)
