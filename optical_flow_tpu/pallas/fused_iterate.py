@@ -115,13 +115,34 @@ def supported(h: int, w: int, winsize: int) -> bool:
 
 
 
+def fused_store_geometry(h: int, w: int, winsize: int):
+    """(Hs, Ws) of the store layout update_flow_fused will use for an
+    (h, w) level, or None when the level takes a layout a store-emitting
+    producer cannot target (the column-chunked wide-frame path repacks
+    Ws; the 32-row-band experiment layout changes Hs)."""
+    if not 3 <= winsize <= 2 * _PAD_S + 1:
+        return None
+    use_fused = FUSE_UPDATE_BLUR and fused_blur_supported(h, w, winsize)
+    if not (use_fused or supported_shape(h, w)):
+        return None
+    if (use_fused and FUSED_TILE_H_LARGE == 32
+            and h >= FUSED_TILE32_MIN_H):
+        return None
+    return _ceil(h, 16) + 32, _ceil(w + 2 * COL_OFF, 128)
+
+
 def update_flow_fused(R0, R1, flow, winsize: int, iterations: int,
-                      gaussian: bool = False):
+                      gaussian: bool = False, *, store_layout: bool = False):
     """Drop-in for core.update_flow on (B, 5/2, h, w) operands: shift into
     the store layout once, run the iterate loop copy-free, slice once.
     Returns (flow, tiers) with tiers the (2,) int32 sum of per-iteration
-    `tier_flags` (device-side exactness-tier observability)."""
-    B, _, h, w = R0.shape
+    `tier_flags` (device-side exactness-tier observability).
+
+    store_layout=True: R0/R1 are ALREADY (B, 5, Hs, Ws) store-layout
+    arrays (polyexp.poly_exp_pallas_store emits them directly, deleting
+    the R relayout pads below); flow stays logical.  Their shape must
+    match fused_store_geometry(h, w, winsize)."""
+    B, _, h, w = flow.shape
     Hs = _ceil(h, 16) + 32
     Ws = _ceil(w + 2 * COL_OFF, 128)
     use_fused = FUSE_UPDATE_BLUR and fused_blur_supported(h, w, winsize)
@@ -145,8 +166,16 @@ def update_flow_fused(R0, R1, flow, winsize: int, iterations: int,
         Ws = n_x * cw
     pad = [(0, 0), (0, 0), (ROW_OFF, Hs - ROW_OFF - h),
            (COL_OFF, Ws - COL_OFF - w)]
-    R0p = jnp.pad(R0, pad)
-    R1p = jnp.pad(R1, pad)
+    if store_layout:
+        if R0.shape[-2:] != (Hs, Ws):
+            raise ValueError(
+                f"store-layout R {R0.shape[-2:]} does not match this "
+                f"level's iterate layout {(Hs, Ws)} — gate the producer "
+                "on fused_store_geometry")
+        R0p, R1p = R0, R1
+    else:
+        R0p = jnp.pad(R0, pad)
+        R1p = jnp.pad(R1, pad)
     flowp = jnp.pad(flow, pad)
 
     # scan, not a Python loop: the iteration body (the Mosaic kernels)

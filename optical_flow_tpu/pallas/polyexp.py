@@ -73,6 +73,13 @@ PAD_BUILDER = "zdus"
 # harness (benchmarks/exp_polyexp_prod.py, configs like zdus/32/s3/u8).
 N_SLOTS = 2
 
+# Emit R directly in the fused iterate's padded store layout
+# (poly_exp_pallas_store), deleting the per-level jnp.pad(R0)/jnp.pad(R1)
+# relayout copies in update_flow_fused — the ~6 ms/batch the round-4
+# roofline measured for the store-layout pads (docs/KERNELS.md).
+# Module-global for the A/B harness (benchmarks/exp_store_emit.py).
+STORE_EMIT = True
+
 
 def _ceil(a: int, m: int) -> int:
     return ((a + m - 1) // m) * m
@@ -81,7 +88,8 @@ def _ceil(a: int, m: int) -> int:
 def _kernel_fused(ip_hbm, aux_ref, r_ref, win, sem, *, n: int, pad: int,
                   wp: int, out_w: int, n_bands: int, tile_h: int, g,
                   xg, xxg, ig11, ig03, ig33, ig55, ns: int = 2, pre=None,
-                  h_real: int = 0, w_real: int = 0, in_bf16: bool = False):
+                  h_real: int = 0, w_real: int = 0, in_bf16: bool = False,
+                  out_col_off: int = 0, row_shift: int = 0):
     """ig-folded variant: the five outputs are separable correlations with
     COMBINED weights, so the inverse-Gram scalars vanish into the taps —
 
@@ -131,19 +139,28 @@ def _kernel_fused(ip_hbm, aux_ref, r_ref, win, sem, *, n: int, pad: int,
 
     def emit(x0, cw, outs):
         o_by, o_bx, o_ayy, o_axx, o_axy = outs
-        osl = slice(x0, x0 + cw)
+        osl = slice(out_col_off + x0, out_col_off + x0 + cw)
         r_ref[0, 0, :, osl] = o_by
         r_ref[0, 1, :, osl] = o_bx
         r_ref[0, 2, :, osl] = o_ayy
         r_ref[0, 3, :, osl] = o_axx
         r_ref[0, 4, :, osl] = o_axy
 
+    if out_col_off:
+        # store layout: lane halos feed the update kernel's (r * sc)
+        # with sc == 0 — any FINITE value works, but the VMEM out block
+        # is uninitialized (NaN * 0 would poison M), so zero them
+        z = jnp.zeros((tile_h, out_col_off), jnp.float32)
+        for c in range(5):
+            r_ref[0, c, :, :out_col_off] = z
+            r_ref[0, c, :, out_col_off + out_w:] = z
+
     aux_rows = None if pre is None else (aux_ref[0, 0:1, :],
                                          aux_ref[0, 1:2, :])
     moment_band(win[slot], tile_h, emit, n=n, pad=pad, out_w=out_w,
                 g=g, xg=xg, xxg=xxg, ig11=ig11, ig03=ig03, ig33=ig33,
                 ig55=ig55, pre=pre, aux_rows=aux_rows,
-                abs_row0=(gi % n_bands) * tile_h,
+                abs_row0=(gi % n_bands) * tile_h - row_shift,
                 h_real=h_real, w_real=w_real, in_bf16=in_bf16)
 
 
@@ -306,14 +323,33 @@ def _kernel(ip_hbm, r_ref, win, sem, *, n: int, pad: int, wp: int,
 @functools.lru_cache(maxsize=64)
 def _build(batch: int, h: int, w: int, poly_n: int, poly_sigma: float,
            fused_ig: bool = True, pre: tuple = None,
-           in_bf16: bool = False):
+           in_bf16: bool = False, store: tuple = None):
     g, xg, xxg, ig11, ig03, ig33, ig55 = poly_exp_weights(poly_n, poly_sigma)
     pad = _ceil(max(poly_n, 1), 8)
-    wp = _ceil(w + 2 * pad, 128)
-    # wide frames fall back to 16-row bands (scoped-VMEM gate, see
-    # TILE32_WP_LIMIT)
-    tile_h = TILE_H if wp <= TILE32_WP_LIMIT else min(TILE_H, 16)
-    hp = _ceil(h, tile_h)
+    if store is not None:
+        # store-layout emission (poly_exp_pallas_store): the out array IS
+        # the fused iterate's (B, 5, Hs, Ws) store — image origin at
+        # (ROW_OFF, COL_OFF) == (16, 8), bands tile the FULL padded
+        # height (halo rows emit finite replicate-border values), lane
+        # halos zeroed in-kernel.  Requires the ig-folded kernel and
+        # pad == COL_OFF.
+        assert fused_ig and pad == 8
+        Hs, Ws = store
+        assert Ws % 128 == 0 and Hs % 16 == 0
+        wp = Ws
+        tile_h = (TILE_H if Hs % TILE_H == 0 and wp <= TILE32_WP_LIMIT
+                  else 16)
+        hp = Hs
+        out_col_off, row_shift = pad, 16
+        out_block_w = Ws
+    else:
+        wp = _ceil(w + 2 * pad, 128)
+        # wide frames fall back to 16-row bands (scoped-VMEM gate, see
+        # TILE32_WP_LIMIT)
+        tile_h = TILE_H if wp <= TILE32_WP_LIMIT else min(TILE_H, 16)
+        hp = _ceil(h, tile_h)
+        out_col_off, row_shift = 0, 0
+        out_block_w = wp - 2 * pad
     out_w = wp - 2 * pad
     rows = 2 * pad + tile_h
     n_bands = hp // tile_h
@@ -328,10 +364,11 @@ def _build(batch: int, h: int, w: int, poly_n: int, poly_sigma: float,
                   xg=tuple(float(x) for x in xg),
                   xxg=tuple(float(x) for x in xxg),
                   ig11=ig11, ig03=ig03, ig33=ig33, ig55=ig55)
+    off = dict(out_col_off=out_col_off, row_shift=row_shift)
     if pre is not None:
         assert fused_ig and len(pre) == 3 and poly_n + 1 < pad
         body = functools.partial(_kernel_fused, pre=pre, h_real=h,
-                                 w_real=w, in_bf16=in_bf16, **common)
+                                 w_real=w, in_bf16=in_bf16, **off, **common)
         in_specs = [
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 2, wp), lambda gi: (gi // n_bands, 0, 0),
@@ -339,11 +376,12 @@ def _build(batch: int, h: int, w: int, poly_n: int, poly_sigma: float,
         ]
     else:
         if fused_ig:
-            inner = functools.partial(_kernel_fused, **common)
+            inner = functools.partial(_kernel_fused, **off, **common)
 
             def body(ip_hbm, r_ref, win, sem):
                 inner(ip_hbm, None, r_ref, win, sem)
         else:
+            assert store is None
             body = functools.partial(_kernel, **common)
         in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
 
@@ -354,7 +392,7 @@ def _build(batch: int, h: int, w: int, poly_n: int, poly_sigma: float,
     # budget (see TILE32_WP_LIMIT).
     in_bytes = 2 if in_bf16 else 4
     vmem_need = (ns * rows * wp * in_bytes            # window scratch
-                 + 2 * 5 * tile_h * out_w * 4         # out blocks (dbuf)
+                 + 2 * 5 * tile_h * out_block_w * 4   # out blocks (dbuf)
                  + (2 * 2 * wp * 4 if pre is not None else 0)  # aux
                  # in-kernel live temporaries: the vertical-pass moment
                  # planes plus horizontal accumulators — Mosaic counts
@@ -368,9 +406,10 @@ def _build(batch: int, h: int, w: int, poly_n: int, poly_sigma: float,
         body,
         grid=(batch * n_bands,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 5, tile_h, out_w), omap,
+        out_specs=pl.BlockSpec((1, 5, tile_h, out_block_w), omap,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((batch, 5, hp, out_w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((batch, 5, hp, out_block_w),
+                                       jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((ns, rows, wp),
                        jnp.bfloat16 if in_bf16 else jnp.float32),
@@ -479,31 +518,35 @@ def poly_exp_pallas(img, poly_n: int, poly_sigma: float, pre_taps=None,
 
 
 def build_ip_store(img, Hs: int, Ws: int, poly_n: int, pre_taps=None,
-                   exact_u8: bool = False):
+                   exact_u8: bool = False, row0: int = None):
     """Padded polyexp input in the tall 'store-aligned' layout for the
-    fused-polyexp update kernel (pallas/update_gather.py).
+    fused-polyexp update kernel (pallas/update_gather.py) and the
+    store-emitting polyexp (poly_exp_pallas_store).
 
     Returns (ip, aux): ip is (B, Hs, Ws) with image pixel (0, 0) at
-    (pad, pad) — identical border construction to poly_exp_pallas's
-    builders (so any window sliced from it reproduces the production
-    kernel's input bitwise), just taller: rows beyond the original
-    hp + 2*pad stay zero/replicate and only ever feed outputs the
-    update kernel discards (sc == 0 / never-selected fetch rows).
-    pad == 8 == the store layout's COL_OFF, and Ws equals the store
-    width, so ip lanes align with store lanes.  aux is the (B, 2, Ws)
-    v-smoothed edge-row pair for the fused level-0 pre-smooth
-    (None when pre_taps is None)."""
+    (row0, pad), row0 defaulting to pad — identical border construction
+    to poly_exp_pallas's builders (so any window sliced from it
+    reproduces the production kernel's input bitwise), just taller: rows
+    beyond the original hp + 2*pad stay zero/replicate and only ever
+    feed outputs the update kernel discards (sc == 0 / never-selected
+    fetch rows).  pad == 8 == the store layout's COL_OFF, and Ws equals
+    the store width, so ip lanes align with store lanes.  aux is the
+    (B, 2, Ws) v-smoothed edge-row pair for the fused level-0
+    pre-smooth (None when pre_taps is None)."""
     B, H, W = img.shape
     pad = _ceil(max(poly_n, 1), 8)
-    assert Ws >= W + 2 * pad and Hs >= H + 2 * pad
+    if row0 is None:
+        row0 = pad
+    assert Ws >= W + 2 * pad and Hs >= H + row0 + pad
     if pre_taps is None:
         # replicate borders (levels k > 0: f32 smoothed-resized images)
-        ip = jnp.pad(img, [(0, 0), (pad, Hs - H - pad),
+        ip = jnp.pad(img, [(0, 0), (row0, Hs - H - row0),
                            (pad, Ws - W - pad)])
-        top = jnp.broadcast_to(ip[:, pad:pad + 1, :], (B, pad, Ws))
-        bot = jnp.broadcast_to(ip[:, pad + H - 1:pad + H, :], (B, pad, Ws))
+        top = jnp.broadcast_to(ip[:, row0:row0 + 1, :], (B, row0, Ws))
+        bot = jnp.broadcast_to(ip[:, row0 + H - 1:row0 + H, :],
+                               (B, Hs - H - row0, Ws))
         ip = jax.lax.dynamic_update_slice(ip, top, (0, 0, 0))
-        ip = jax.lax.dynamic_update_slice(ip, bot, (0, pad + H, 0))
+        ip = jax.lax.dynamic_update_slice(ip, bot, (0, row0 + H, 0))
         left = jnp.broadcast_to(ip[:, :, pad:pad + 1], (B, Hs, pad))
         right = jnp.broadcast_to(ip[:, :, pad + W - 1:pad + W],
                                  (B, Hs, pad))
@@ -516,19 +559,70 @@ def build_ip_store(img, Hs: int, Ws: int, poly_n: int, pre_taps=None,
     # moment_band's border logic, so it stays zero)
     use_bf16 = bool(exact_u8)
     base = img.astype(jnp.bfloat16) if use_bf16 else img
-    ip = jnp.pad(base, [(0, 0), (pad, Hs - H - pad), (pad, Ws - W - pad)])
+    ip = jnp.pad(base, [(0, 0), (row0, Hs - H - row0), (pad, Ws - W - pad)])
     ip = jax.lax.dynamic_update_slice(
         ip, ip[:, :, pad + 1:pad + 2], (0, 0, pad - 1))
     ip = jax.lax.dynamic_update_slice(
         ip, ip[:, :, pad + W - 2:pad + W - 1], (0, 0, pad + W))
     ip = jax.lax.dynamic_update_slice(
-        ip, ip[:, pad + 1:pad + 2, :], (0, pad - 1, 0))
+        ip, ip[:, row0 + 1:row0 + 2, :], (0, row0 - 1, 0))
     ip = jax.lax.dynamic_update_slice(
-        ip, ip[:, pad + H - 2:pad + H - 1, :], (0, pad + H, 0))
+        ip, ip[:, row0 + H - 2:row0 + H - 1, :], (0, row0 + H, 0))
     t0, t1, t2 = (float(t) for t in pre_taps)
     r32 = lambda r: ip[:, r].astype(jnp.float32)  # noqa: E731
     aux = jnp.stack([
-        r32(pad - 1) * t0 + r32(pad) * t1 + r32(pad + 1) * t2,
-        (r32(pad + H - 2) * t0 + r32(pad + H - 1) * t1
-         + r32(pad + H) * t2)], axis=1)               # (B, 2, Ws)
+        r32(row0 - 1) * t0 + r32(row0) * t1 + r32(row0 + 1) * t2,
+        (r32(row0 + H - 2) * t0 + r32(row0 + H - 1) * t1
+         + r32(row0 + H) * t2)], axis=1)              # (B, 2, Ws)
     return ip, aux
+
+
+def store_emit_supported(h: int, w: int, poly_n: int) -> bool:
+    """True if poly_exp_pallas_store can target the iterate store layout
+    for an (h, w) level: the polyexp halo must equal the store column
+    offset (poly_n <= 8) and the kernel must be in its ig-folded form."""
+    return (STORE_EMIT and FUSED_IG and min(h, w) >= 32
+            and _ceil(max(poly_n, 1), 8) == 8)
+
+
+def poly_exp_pallas_store(img, Hs: int, Ws: int, poly_n: int,
+                          poly_sigma: float, pre_taps=None,
+                          exact_u8: bool = False):
+    """Batched fused polyexp emitting R DIRECTLY in the fused iterate's
+    store layout: img (B, H, W) -> R (B, 5, Hs, Ws) f32 with image pixel
+    (0, 0) at (ROW_OFF, COL_OFF) == (16, 8) (pallas/fused_iterate.py's
+    shared layout).
+
+    The real region is bitwise-identical to poly_exp_pallas(img, ...)
+    (same moment_band op order on the same window values); every halo
+    cell is FINITE — lane halos are zeroed in-kernel, row halos hold
+    replicate-border polyexp values, consumed only multiplied by the
+    zero border-scale field / never selected by the update kernel's
+    clipped fetches (update_gather.py:314-315).  This deletes the
+    iterate driver's per-level jnp.pad(R0)/jnp.pad(R1) relayout copies
+    (the ~6 ms/batch at 1080p B=16 that benchmarks/exp_iterate_pads.py
+    measured; STORE_EMIT gates the production path).
+    """
+    B, H, W = img.shape
+    assert store_emit_supported(H, W, poly_n)
+    if pre_taps is not None and (not FUSE_PRE_SMOOTH or len(pre_taps) != 3
+                                 or H < 3 or W < 3):
+        from optical_flow_tpu.models.farneback.core import (
+            gaussian_blur_reflect101)
+        return poly_exp_pallas_store(
+            gaussian_blur_reflect101(img, np.asarray(pre_taps)),
+            Hs, Ws, poly_n, poly_sigma)
+    pad = _ceil(max(poly_n, 1), 8)
+    pre = tuple(float(t) for t in pre_taps) if pre_taps is not None else None
+    use_bf16 = bool(exact_u8) and pre is not None
+    kernel, pad, hp, wp = _build(B, H, W, poly_n, poly_sigma,
+                                 fused_ig=True, pre=pre, in_bf16=use_bf16,
+                                 store=(Hs, Ws))
+    # window DMA i reads ip rows [i*tile_h, i*tile_h + tile_h + 2*pad):
+    # the input needs 2*pad extra rows over the Hs output rows, with the
+    # image origin at row pad + ROW_OFF so window row `pad` lands on the
+    # band's first output row (store row i*tile_h == image row
+    # i*tile_h - ROW_OFF)
+    ip, aux = build_ip_store(img, Hs + 2 * pad, Ws, poly_n, pre,
+                             exact_u8=use_bf16, row0=pad + 16)
+    return kernel(ip, aux) if pre is not None else kernel(ip)

@@ -745,6 +745,137 @@ class TestPolyExpPreSmooth:
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+class TestPolyExpStoreEmit:
+    """poly_exp_pallas_store emits R directly in the fused iterate's
+    (B, 5, Hs, Ws) store layout (image origin at (ROW_OFF, COL_OFF)):
+    the real region must be BITWISE identical to poly_exp_pallas, every
+    halo cell finite, lane halos zero — and the store-layout iterate
+    must reproduce the padded-R iterate exactly."""
+
+    @staticmethod
+    def _geom(H, W):
+        return ((H + 15) // 16) * 16 + 32, ((W + 16 + 127) // 128) * 128
+
+    @pytest.mark.parametrize("H,W", [
+        (48, 200),        # Hs = 80: 16-row store bands
+        (64, 112),        # Hs = 96: 32-row store bands (Hs % 32 == 0)
+    ])
+    def test_real_region_bitwise_halos_finite(self, H, W):
+        from optical_flow_tpu.pallas.polyexp import (poly_exp_pallas,
+                                                     poly_exp_pallas_store)
+        rng = np.random.default_rng(8)
+        img = jnp.asarray(rng.uniform(0, 255, (2, H, W)).astype(np.float32))
+        Hs, Ws = self._geom(H, W)
+        ref = np.asarray(poly_exp_pallas(img, 5, 1.2))
+        out = np.asarray(poly_exp_pallas_store(img, Hs, Ws, 5, 1.2))
+        assert out.shape == (2, 5, Hs, Ws)
+        np.testing.assert_array_equal(out[:, :, 16:16 + H, 8:8 + W], ref)
+        assert np.isfinite(out).all()
+        assert (out[:, :, :, :8] == 0).all()
+        assert (out[:, :, :, Ws - 8:] == 0).all()
+
+    def test_pre_smooth_store_bitwise(self):
+        """Level-0 fused 3-tap pre-smooth through the store layout, f32
+        and bf16 (exact_u8) stagings."""
+        from optical_flow_tpu.models.farneback.params import gaussian_kernel
+        from optical_flow_tpu.pallas.polyexp import (poly_exp_pallas,
+                                                     poly_exp_pallas_store)
+        rng = np.random.default_rng(9)
+        H, W = 33, 140    # partial last band: border rewrite path
+        img = jnp.asarray(rng.integers(0, 256, (2, H, W)).astype(np.float32))
+        Hs, Ws = self._geom(H, W)
+        taps = tuple(gaussian_kernel(3, 0.0))
+        ref = np.asarray(poly_exp_pallas(img, 5, 1.2, pre_taps=taps))
+        for exact in (False, True):
+            out = np.asarray(poly_exp_pallas_store(
+                img, Hs, Ws, 5, 1.2, pre_taps=taps, exact_u8=exact))
+            np.testing.assert_array_equal(out[:, :, 16:16 + H, 8:8 + W], ref)
+            assert np.isfinite(out).all()
+
+    def test_store_layout_iterate_matches_padded(self):
+        """update_flow_fused(store_layout=True) on store-emitted R must
+        equal the padded-R path bitwise (same kernels, same operand
+        values in the real region; halos only ever multiply sc == 0)."""
+        from optical_flow_tpu.pallas.fused_iterate import (
+            fused_store_geometry, update_flow_fused)
+        from optical_flow_tpu.pallas.polyexp import (poly_exp_pallas,
+                                                     poly_exp_pallas_store)
+        rng = np.random.default_rng(10)
+        H, W = 48, 112
+        geom = fused_store_geometry(H, W, 15)
+        assert geom == self._geom(H, W)
+        img0 = jnp.asarray(rng.uniform(0, 255, (1, H, W)).astype(np.float32))
+        img1 = jnp.asarray(rng.uniform(0, 255, (1, H, W)).astype(np.float32))
+        flow = jnp.asarray(
+            (rng.standard_normal((1, 2, H, W)) * 0.5).astype(np.float32))
+        R0 = poly_exp_pallas(img0, 5, 1.2)
+        R1 = poly_exp_pallas(img1, 5, 1.2)
+        fl_a, t_a = update_flow_fused(R0, R1, flow, 15, 2)
+        R0s = poly_exp_pallas_store(img0, *geom, 5, 1.2)
+        R1s = poly_exp_pallas_store(img1, *geom, 5, 1.2)
+        fl_b, t_b = update_flow_fused(R0s, R1s, flow, 15, 2,
+                                      store_layout=True)
+        np.testing.assert_array_equal(np.asarray(fl_a), np.asarray(fl_b))
+        np.testing.assert_array_equal(np.asarray(t_a), np.asarray(t_b))
+
+    @pytest.mark.slow
+    def test_store_layout_spill_replay_matches(self):
+        """Spilled frames replay the two-kernel path on the SAME store
+        arrays (non-zero finite row halos): flow and tiers must match the
+        padded-R loop exactly."""
+        from optical_flow_tpu.pallas.fused_iterate import (
+            fused_store_geometry, update_flow_fused)
+        from optical_flow_tpu.pallas.polyexp import (poly_exp_pallas,
+                                                     poly_exp_pallas_store)
+        rng = np.random.default_rng(11)
+        H, W = 64, 200
+        geom = fused_store_geometry(H, W, 15)
+        img0 = jnp.asarray(rng.uniform(0, 255, (1, H, W)).astype(np.float32))
+        img1 = jnp.asarray(rng.uniform(0, 255, (1, H, W)).astype(np.float32))
+        fl = np.full((1, 2, H, W), 1.5, np.float32)
+        fl[:, 1, 30:32, 100:160] = 45.0      # escapes the window
+        flow = jnp.asarray(fl)
+        R0 = poly_exp_pallas(img0, 5, 1.2)
+        R1 = poly_exp_pallas(img1, 5, 1.2)
+        fl_a, t_a = update_flow_fused(R0, R1, flow, 15, 2)
+        R0s = poly_exp_pallas_store(img0, *geom, 5, 1.2)
+        R1s = poly_exp_pallas_store(img1, *geom, 5, 1.2)
+        fl_b, t_b = update_flow_fused(R0s, R1s, flow, 15, 2,
+                                      store_layout=True)
+        assert np.asarray(t_a).sum() > 0     # spill exercised
+        np.testing.assert_array_equal(np.asarray(fl_a), np.asarray(fl_b))
+        np.testing.assert_array_equal(np.asarray(t_a), np.asarray(t_b))
+
+    @pytest.mark.slow
+    def test_production_wiring_bitwise(self):
+        """_flow_pyramid with the TPU picks forced on CPU: STORE_EMIT on
+        vs off must produce bitwise-identical flow through the full
+        pyramid (the flow.py gate + split polyexp calls + store-layout
+        iterate wiring)."""
+        import optical_flow_tpu.models.farneback.flow as fl
+        import optical_flow_tpu.pallas.polyexp as pe
+        from optical_flow_tpu.models.farneback.params import build_plan
+        from optical_flow_tpu.utils.config import FarnebackConfig
+        rng = np.random.default_rng(12)
+        H, W = 96, 160
+        prev = jnp.asarray(rng.integers(0, 256, (2, H, W)).astype(np.uint8))
+        nxt = jnp.asarray(rng.integers(0, 256, (2, H, W)).astype(np.uint8))
+        plan = build_plan(H, W, FarnebackConfig())
+        orig_on_tpu, orig_emit = fl._on_tpu, pe.STORE_EMIT
+        outs = {}
+        try:
+            fl._on_tpu = lambda: True
+            for emit in (False, True):
+                pe.STORE_EMIT = emit
+                flow, tiers = fl._flow_pyramid(
+                    prev.astype(jnp.float32), nxt.astype(jnp.float32),
+                    plan, use_pallas=True, input_u8=True)
+                outs[emit] = np.asarray(flow)
+        finally:
+            fl._on_tpu, pe.STORE_EMIT = orig_on_tpu, orig_emit
+        np.testing.assert_array_equal(outs[True], outs[False])
+
+
 class TestGaussResizeKernel:
     @pytest.mark.parametrize("H,W,s,ks,sigma", [
         (64, 256, 2, 3, 0.5),       # level 1 params
