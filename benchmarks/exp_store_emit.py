@@ -63,6 +63,38 @@ def _measure(f1, f2, batch=16, iters=6, pipeline=5):
     return batch / dt, np.asarray(out[0])
 
 
+def _measure_chain(f1, f2, n_frames=17, iters=6, pipeline=5):
+    """Chained-pair config (the visualizer's workload shape): ONE
+    (N, 5, Hs, Ws) store array is both iterate operands under
+    STORE_EMIT (r1_frame_off=1), vs slice+pad without it."""
+    import jax
+    import jax.numpy as jnp
+    from optical_flow_tpu.models.farneback import calc_flow_chain_batched
+    from optical_flow_tpu.utils.config import FarnebackConfig
+
+    h, w = f1.shape
+    fr = np.stack([f1 if i % 2 == 0 else f2 for i in range(n_frames)])
+    frames = jax.device_put(fr)
+    cfg = FarnebackConfig()
+
+    def sync(x):
+        float(jnp.sum(x[:, ::97, ::97]))
+
+    out = calc_flow_chain_batched(frames, cfg)
+    sync(out)
+    for _ in range(2):
+        sync(calc_flow_chain_batched(frames, cfg))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        outs = [calc_flow_chain_batched(frames, cfg)
+                for _ in range(pipeline)]
+        sync(outs[-1])
+        times.append((time.perf_counter() - t0) / pipeline)
+    dt = float(np.median(times))
+    return (n_frames - 1) / dt, np.asarray(out[0])
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-boundary", action="store_true")
@@ -83,12 +115,16 @@ def main():
     for mode in ("padded", "storeemit"):
         pe.STORE_EMIT = (mode == "storeemit")
         flowmod._jitted_batched.cache_clear()
+        flowmod._jitted_chain.cache_clear()
         r = {}
         t0 = time.perf_counter()
         pps, out0 = _measure(f1, f2)
         r["compile_plus_first_s"] = round(time.perf_counter() - t0, 1)
         r["smooth_pairs_per_s"] = round(pps, 1)
         flows[(mode, "smooth")] = out0
+        pps_c, out_c = _measure_chain(f1, f2)
+        r["chain_pairs_per_s"] = round(pps_c, 1)
+        flows[(mode, "chain")] = out_c
         if not args.skip_boundary:
             reset_tier_counts()
             pps_b, out_b = _measure(b1, b2, iters=4)
@@ -97,7 +133,7 @@ def main():
             flows[(mode, "boundary")] = out_b
         results[mode] = r
 
-    for k in ("smooth", "boundary"):
+    for k in ("smooth", "chain", "boundary"):
         a = flows.get(("padded", k))
         b = flows.get(("storeemit", k))
         if a is not None and b is not None:

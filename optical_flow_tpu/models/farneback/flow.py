@@ -203,30 +203,41 @@ def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
         fused_fn = (_pick_fused_update_flow(lv.height, lv.width, cfg.winsize)
                     if use_pallas and sp_kernels is None else None)
         store_geom = None
-        if (poly_fused_fn is None and fused_fn is not None and not chain
+        if (poly_fused_fn is None and fused_fn is not None
                 and poly_fn is not core.poly_exp):
             from optical_flow_tpu.pallas.polyexp import store_emit_supported
             if store_emit_supported(lv.height, lv.width, cfg.poly_n):
                 from optical_flow_tpu.pallas.fused_iterate import (
                     fused_store_geometry)
                 store_geom = fused_store_geometry(lv.height, lv.width,
-                                                  cfg.winsize)
+                                                  cfg.winsize, chain=chain)
         if poly_fused_fn is None:
             if store_geom is not None:
                 # STORE_EMIT: polyexp writes R directly in the iterate's
-                # store layout (one kernel per frame half — slicing the
-                # level batch is a 1-channel copy that fuses into the ip
-                # pad builders), deleting the fused driver's per-level
-                # 5-channel jnp.pad(R) relayout copies
+                # store layout, deleting the fused driver's per-level
+                # 5-channel jnp.pad(R) relayout copies.  Chained: ONE
+                # (N, 5, Hs, Ws) array is both iterate operands (pair i
+                # = frames (i, i+1) via r1_frame_off), so the
+                # overlapping Rb[:-1]/Rb[1:] slices vanish too.
+                # Non-chain: one kernel per frame half — slicing the
+                # level batch is a 1-channel copy that fuses into the
+                # ip pad builders
                 from optical_flow_tpu.pallas.polyexp import (
                     poly_exp_pallas_store)
                 kw = (dict(pre_taps=pre_t, exact_u8=exact)
                       if pre_t is not None else {})
                 Hs, Ws = store_geom
-                R0 = poly_exp_pallas_store(imgs[:B], Hs, Ws, cfg.poly_n,
-                                           cfg.poly_sigma, **kw)
-                R1 = poly_exp_pallas_store(imgs[B:], Hs, Ws, cfg.poly_n,
-                                           cfg.poly_sigma, **kw)
+                if chain:
+                    Rbp = poly_exp_pallas_store(imgs, Hs, Ws, cfg.poly_n,
+                                                cfg.poly_sigma, **kw)
+                    R0 = R1 = Rbp
+                else:
+                    R0 = poly_exp_pallas_store(imgs[:B], Hs, Ws,
+                                               cfg.poly_n,
+                                               cfg.poly_sigma, **kw)
+                    R1 = poly_exp_pallas_store(imgs[B:], Hs, Ws,
+                                               cfg.poly_n,
+                                               cfg.poly_sigma, **kw)
             elif pre_t is not None:
                 Rb = poly_fn(imgs, cfg.poly_n, cfg.poly_sigma,
                              pre_taps=pre_t, exact_u8=exact)
@@ -261,7 +272,9 @@ def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
         if fused_fn is not None:
             flow, tiers = fused_fn(R0, R1, flow, cfg.winsize, cfg.iterations,
                                    gaussian=cfg.gaussian_window,
-                                   store_layout=store_geom is not None)
+                                   store_layout=store_geom is not None,
+                                   r1_frame_off=int(
+                                       chain and store_geom is not None))
             tiers_total = tiers_total + tiers
             continue
         if sp_kernels is not None:

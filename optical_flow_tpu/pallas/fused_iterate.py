@@ -115,15 +115,19 @@ def supported(h: int, w: int, winsize: int) -> bool:
 
 
 
-def fused_store_geometry(h: int, w: int, winsize: int):
+def fused_store_geometry(h: int, w: int, winsize: int,
+                         chain: bool = False):
     """(Hs, Ws) of the store layout update_flow_fused will use for an
     (h, w) level, or None when the level takes a layout a store-emitting
     producer cannot target (the column-chunked wide-frame path repacks
-    Ws; the 32-row-band experiment layout changes Hs)."""
+    Ws; the 32-row-band experiment layout changes Hs).  chain=True
+    additionally requires the fully-fused step (the chained single-array
+    frame offset is a fused-kernel feature, see update_flow_fused's
+    r1_frame_off)."""
     if not 3 <= winsize <= 2 * _PAD_S + 1:
         return None
     use_fused = FUSE_UPDATE_BLUR and fused_blur_supported(h, w, winsize)
-    if not (use_fused or supported_shape(h, w)):
+    if not (use_fused or (supported_shape(h, w) and not chain)):
         return None
     if (use_fused and FUSED_TILE_H_LARGE == 32
             and h >= FUSED_TILE32_MIN_H):
@@ -132,7 +136,8 @@ def fused_store_geometry(h: int, w: int, winsize: int):
 
 
 def update_flow_fused(R0, R1, flow, winsize: int, iterations: int,
-                      gaussian: bool = False, *, store_layout: bool = False):
+                      gaussian: bool = False, *, store_layout: bool = False,
+                      r1_frame_off: int = 0):
     """Drop-in for core.update_flow on (B, 5/2, h, w) operands: shift into
     the store layout once, run the iterate loop copy-free, slice once.
     Returns (flow, tiers) with tiers the (2,) int32 sum of per-iteration
@@ -141,7 +146,13 @@ def update_flow_fused(R0, R1, flow, winsize: int, iterations: int,
     store_layout=True: R0/R1 are ALREADY (B, 5, Hs, Ws) store-layout
     arrays (polyexp.poly_exp_pallas_store emits them directly, deleting
     the R relayout pads below); flow stays logical.  Their shape must
-    match fused_store_geometry(h, w, winsize)."""
+    match fused_store_geometry(h, w, winsize).
+
+    r1_frame_off (store_layout only, fully-fused step only): pair b
+    reads R0 frame b and R1 frame b + r1_frame_off — the chained
+    visualizer passes ONE (N, 5, Hs, Ws) store array as BOTH operands
+    with r1_frame_off=1 and an (N-1)-batch flow, so the overlapping
+    Rb[:-1]/Rb[1:] slices never materialize."""
     B, _, h, w = flow.shape
     Hs = _ceil(h, 16) + 32
     Ws = _ceil(w + 2 * COL_OFF, 128)
@@ -176,6 +187,10 @@ def update_flow_fused(R0, R1, flow, winsize: int, iterations: int,
     else:
         R0p = jnp.pad(R0, pad)
         R1p = jnp.pad(R1, pad)
+    if r1_frame_off and not (store_layout and use_fused):
+        raise ValueError(
+            "r1_frame_off needs store-layout operands and the fully-"
+            "fused step — gate on fused_store_geometry(chain=True)")
     flowp = jnp.pad(flow, pad)
 
     # scan, not a Python loop: the iteration body (the Mosaic kernels)
@@ -188,12 +203,17 @@ def update_flow_fused(R0, R1, flow, winsize: int, iterations: int,
         def body(fl, _):
             flp, nvp = fused_update_blur_store(R0p, R1p, fl, h, w,
                                                winsize, gaussian,
-                                               tile_h=tile_h)
+                                               tile_h=tile_h,
+                                               frame_off=r1_frame_off)
 
             def slow(fl_in):
                 # exact recompute: the fused blur consumed M before the
-                # spill correction could run (rare; free when untaken)
-                Mst, _t = update_matrices_store(R0p, R1p, fl_in, scp, h, w)
+                # spill correction could run (rare; free when untaken).
+                # Chained single-array operands slice here — the copies
+                # materialize only when the cond fires
+                Mst, _t = update_matrices_store(
+                    R0p[:B], R1p[r1_frame_off:r1_frame_off + B], fl_in,
+                    scp, h, w)
                 return blur_solve_store(Mst, winsize, gaussian)
 
             fl_next = jax.lax.cond(jnp.sum(nvp) > 0, slow,

@@ -185,7 +185,8 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
                    tile_h: int = TILE_H, win_h: int = WIN_H,
                    fast: bool = True,
                    split: bool = True, blur=None, mbuf=None,
-                   viol_counts: bool = False, poly=None):
+                   viol_counts: bool = False, poly=None,
+                   frame_off: int = 0):
     """Grid: (B * H/TILE_H,) row bands.  Each step processes an (TILE_H, W)
     band of one batch element: one dynamic-window DMA (5, WIN_H, W)
     anchored at the band's minimum fetched row (precomputed at XLA level
@@ -206,9 +207,13 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
     W = w_real
 
     if poly is None:
+        # frame_off: R1 windows read frame b + frame_off of r1_hbm — the
+        # chained visualizer passes ONE (N, 5, Hs, Ws) store array as
+        # both operands with frame_off=1 (pair i = frames (i, i+1)), so
+        # neither R operand is ever sliced or padded at XLA level
         def dma(slot_, step):
             return pltpu.make_async_copy(
-                r1_hbm.at[step // n_bands, :,
+                r1_hbm.at[step // n_bands + frame_off, :,
                           pl.ds(pl.multiple_of(anchors_ref[step], 8),
                                 win_h), :],
                 win.at[slot_], sem.at[slot_])
@@ -441,7 +446,8 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
                 16 if poly is not None else 0, Hp - win_h), 8)
             if poly is None:
                 cp2 = pltpu.make_async_copy(
-                    r1_hbm.at[gi // n_bands, :, pl.ds(sy2, win_h), :],
+                    r1_hbm.at[gi // n_bands + frame_off, :,
+                              pl.ds(sy2, win_h), :],
                     win2, sem2)
                 cp2.start()
                 cp2.wait()
@@ -493,7 +499,8 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
                 16 if poly is not None else 0, Hp - win_h), 8)
             if poly is None:
                 cp2 = pltpu.make_async_copy(
-                    r1_hbm.at[gi // n_bands, :, pl.ds(sy2, win_h), :],
+                    r1_hbm.at[gi // n_bands + frame_off, :,
+                              pl.ds(sy2, win_h), :],
                     win2, sem2)
                 cp2.start()
                 cp2.wait()
@@ -826,7 +833,8 @@ def fused_blur_supported(h: int, w: int, winsize: int) -> bool:
 @functools.lru_cache(maxsize=16)
 def _build_fused_blur(batch: int, h: int, w: int, h_real: int, w_real: int,
                       winsize: int, gaussian: bool, tile_h: int = 16,
-                      fast: bool = True, split: bool = True):
+                      fast: bool = True, split: bool = True,
+                      frame_off: int = 0):
     from optical_flow_tpu.models.farneback.core import gaussian_window_kernel
     from optical_flow_tpu.pallas.blur_solve import _PAD_S, _factor
     # tile_h == ROW_OFF is the classic band-aligned layout; 2*ROW_OFF
@@ -899,6 +907,7 @@ def _build_fused_blur(batch: int, h: int, w: int, h_real: int, w_real: int,
                           row_off=ROW_OFF, col_off=COL_OFF, tile_h=tile_h,
                           win_h=win_h,
                           fast=fast, split=split, viol_counts=True,
+                          frame_off=frame_off,
                           blur=dict(m=m, taps=taps, inv_area=inv_area,
                                     fac=fac)),
         grid_spec=grid_spec,
@@ -913,7 +922,7 @@ def _build_fused_blur(batch: int, h: int, w: int, h_real: int, w_real: int,
 
 def fused_update_blur_store(R0p, R1p, flowp, h: int, w: int,
                             winsize: int, gaussian: bool = False,
-                            tile_h: int = 16):
+                            tile_h: int = 16, frame_off: int = 0):
     """One fully-fused iterate step in the store layout: displaced-fetch
     update + winsize box/Gaussian blur + regularized 2x2 solve in ONE
     kernel (optflowgf.cpp runs FarnebackUpdateMatrices +
@@ -928,8 +937,15 @@ def fused_update_blur_store(R0p, R1p, flowp, h: int, w: int,
     blur_solve_store(update_matrices_store(...)[0]) whenever
     n_viol_per == 0; frames with spills MUST be recomputed by the caller
     via the exact two-kernel path (the blur consumed uncorrected M) —
-    see fused_iterate.update_flow_fused."""
-    B, _, Hs, Ws = R0p.shape
+    see fused_iterate.update_flow_fused.
+
+    frame_off: pair b reads R0p frame b and R1p frame b + frame_off —
+    the chained visualizer passes ONE (N, 5, Hs, Ws) array as both
+    operands with frame_off=1 (zero R slices/pads); the batch is sized
+    by flowp."""
+    B = flowp.shape[0]
+    _, _, Hs, Ws = R0p.shape
+    assert R0p.shape[0] >= B and R1p.shape[0] >= B + frame_off
     win_h = tile_h + 16
     n_bands = Hs // tile_h
     cols = jnp.arange(Ws)
@@ -944,7 +960,7 @@ def fused_update_blur_store(R0p, R1p, flowp, h: int, w: int,
     anchors = anchors.reshape(B * n_bands)
     flow_st, counts = _build_fused_blur(
         B, Hs, Ws, h, w, winsize, bool(gaussian), tile_h=tile_h,
-        fast=FAST_UNIFORM, split=SPLIT_NONUNIFORM)(
+        fast=FAST_UNIFORM, split=SPLIT_NONUNIFORM, frame_off=frame_off)(
             anchors, R0p, flowp, R1p)     # sc computed in-kernel
     # per-band f32 counts are exact integers (<= 16*Ws < 2^24 per band)
     n_viol_per = jnp.sum(counts, axis=(1, 2)).astype(jnp.int32)

@@ -846,6 +846,57 @@ class TestPolyExpStoreEmit:
         np.testing.assert_array_equal(np.asarray(fl_a), np.asarray(fl_b))
         np.testing.assert_array_equal(np.asarray(t_a), np.asarray(t_b))
 
+    def test_chain_single_array_frame_offset_matches(self):
+        """Chained mode: ONE (N, 5, Hs, Ws) store array as both iterate
+        operands with r1_frame_off=1 must equal the sliced padded-R
+        path bitwise (pair i = frames (i, i+1))."""
+        from optical_flow_tpu.pallas.fused_iterate import (
+            fused_store_geometry, update_flow_fused)
+        from optical_flow_tpu.pallas.polyexp import (poly_exp_pallas,
+                                                     poly_exp_pallas_store)
+        rng = np.random.default_rng(13)
+        H, W, N = 48, 112, 3
+        geom = fused_store_geometry(H, W, 15, chain=True)
+        assert geom == self._geom(H, W)
+        frames = jnp.asarray(
+            rng.uniform(0, 255, (N, H, W)).astype(np.float32))
+        flow = jnp.asarray(
+            (rng.standard_normal((N - 1, 2, H, W)) * 0.5)
+            .astype(np.float32))
+        Rb = poly_exp_pallas(frames, 5, 1.2)
+        fl_a, t_a = update_flow_fused(Rb[:-1], Rb[1:], flow, 15, 2)
+        Rbp = poly_exp_pallas_store(frames, *geom, 5, 1.2)
+        fl_b, t_b = update_flow_fused(Rbp, Rbp, flow, 15, 2,
+                                      store_layout=True, r1_frame_off=1)
+        np.testing.assert_array_equal(np.asarray(fl_a), np.asarray(fl_b))
+        np.testing.assert_array_equal(np.asarray(t_a), np.asarray(t_b))
+
+    @pytest.mark.slow
+    def test_chain_spill_replay_matches(self):
+        """Chained single-array mode with spills: the two-kernel replay
+        slices the shared array under lax.cond; flow and tiers must
+        match the sliced padded-R loop exactly."""
+        from optical_flow_tpu.pallas.fused_iterate import (
+            fused_store_geometry, update_flow_fused)
+        from optical_flow_tpu.pallas.polyexp import (poly_exp_pallas,
+                                                     poly_exp_pallas_store)
+        rng = np.random.default_rng(14)
+        H, W, N = 64, 200, 3
+        geom = fused_store_geometry(H, W, 15, chain=True)
+        frames = jnp.asarray(
+            rng.uniform(0, 255, (N, H, W)).astype(np.float32))
+        fl = np.full((N - 1, 2, H, W), 1.5, np.float32)
+        fl[:, 1, 30:32, 100:160] = 45.0      # escapes the window
+        flow = jnp.asarray(fl)
+        Rb = poly_exp_pallas(frames, 5, 1.2)
+        fl_a, t_a = update_flow_fused(Rb[:-1], Rb[1:], flow, 15, 2)
+        Rbp = poly_exp_pallas_store(frames, *geom, 5, 1.2)
+        fl_b, t_b = update_flow_fused(Rbp, Rbp, flow, 15, 2,
+                                      store_layout=True, r1_frame_off=1)
+        assert np.asarray(t_a).sum() > 0     # spill exercised
+        np.testing.assert_array_equal(np.asarray(fl_a), np.asarray(fl_b))
+        np.testing.assert_array_equal(np.asarray(t_a), np.asarray(t_b))
+
     @pytest.mark.slow
     def test_production_wiring_bitwise(self):
         """_flow_pyramid with the TPU picks forced on CPU: STORE_EMIT on
@@ -863,6 +914,8 @@ class TestPolyExpStoreEmit:
         plan = build_plan(H, W, FarnebackConfig())
         orig_on_tpu, orig_emit = fl._on_tpu, pe.STORE_EMIT
         outs = {}
+        chain_outs = {}
+        frames = jnp.concatenate([prev, nxt[:1]], axis=0)
         try:
             fl._on_tpu = lambda: True
             for emit in (False, True):
@@ -871,9 +924,14 @@ class TestPolyExpStoreEmit:
                     prev.astype(jnp.float32), nxt.astype(jnp.float32),
                     plan, use_pallas=True, input_u8=True)
                 outs[emit] = np.asarray(flow)
+                cflow, _ct = fl._flow_pyramid(
+                    frames.astype(jnp.float32), None, plan,
+                    use_pallas=True, chain=True, input_u8=True)
+                chain_outs[emit] = np.asarray(cflow)
         finally:
             fl._on_tpu, pe.STORE_EMIT = orig_on_tpu, orig_emit
         np.testing.assert_array_equal(outs[True], outs[False])
+        np.testing.assert_array_equal(chain_outs[True], chain_outs[False])
 
 
 class TestGaussResizeKernel:
