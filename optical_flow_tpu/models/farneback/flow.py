@@ -222,22 +222,29 @@ def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
                 # Non-chain: one kernel per frame half — slicing the
                 # level batch is a 1-channel copy that fuses into the
                 # ip pad builders
-                from optical_flow_tpu.pallas.polyexp import (
-                    poly_exp_pallas_store)
+                from optical_flow_tpu.pallas import polyexp as _pe
+                from optical_flow_tpu.pallas.fused_iterate import (
+                    bf16_store_ok)
                 kw = (dict(pre_taps=pre_t, exact_u8=exact)
                       if pre_t is not None else {})
+                # R_BF16: store R in bf16 where the fully-fused step
+                # consumes it (it widens back to f32 on load) — halves
+                # the pipeline's dominant HBM traffic for ~0.002 px EPE
+                # (see polyexp.R_BF16)
+                kw["out_bf16"] = (_pe.R_BF16 and bf16_store_ok(
+                    lv.height, lv.width, cfg.winsize))
                 Hs, Ws = store_geom
                 if chain:
-                    Rbp = poly_exp_pallas_store(imgs, Hs, Ws, cfg.poly_n,
-                                                cfg.poly_sigma, **kw)
+                    Rbp = _pe.poly_exp_pallas_store(
+                        imgs, Hs, Ws, cfg.poly_n, cfg.poly_sigma, **kw)
                     R0 = R1 = Rbp
                 else:
-                    R0 = poly_exp_pallas_store(imgs[:B], Hs, Ws,
-                                               cfg.poly_n,
-                                               cfg.poly_sigma, **kw)
-                    R1 = poly_exp_pallas_store(imgs[B:], Hs, Ws,
-                                               cfg.poly_n,
-                                               cfg.poly_sigma, **kw)
+                    R0 = _pe.poly_exp_pallas_store(
+                        imgs[:B], Hs, Ws, cfg.poly_n, cfg.poly_sigma,
+                        **kw)
+                    R1 = _pe.poly_exp_pallas_store(
+                        imgs[B:], Hs, Ws, cfg.poly_n, cfg.poly_sigma,
+                        **kw)
             elif pre_t is not None:
                 Rb = poly_fn(imgs, cfg.poly_n, cfg.poly_sigma,
                              pre_taps=pre_t, exact_u8=exact)

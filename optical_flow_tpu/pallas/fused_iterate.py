@@ -135,6 +135,14 @@ def fused_store_geometry(h: int, w: int, winsize: int,
     return _ceil(h, 16) + 32, _ceil(w + 2 * COL_OFF, 128)
 
 
+def bf16_store_ok(h: int, w: int, winsize: int) -> bool:
+    """True when a bf16 R store may feed this level's iterate: the bf16
+    window/band widening lives in the fully-fused step only (the
+    two-kernel store path keeps f32 operands), so bf16 emission requires
+    it — same gate shape as fused_store_geometry(chain=True)."""
+    return FUSE_UPDATE_BLUR and fused_blur_supported(h, w, winsize)
+
+
 def update_flow_fused(R0, R1, flow, winsize: int, iterations: int,
                       gaussian: bool = False, *, store_layout: bool = False,
                       r1_frame_off: int = 0):
@@ -191,6 +199,10 @@ def update_flow_fused(R0, R1, flow, winsize: int, iterations: int,
         raise ValueError(
             "r1_frame_off needs store-layout operands and the fully-"
             "fused step — gate on fused_store_geometry(chain=True)")
+    if R0p.dtype == jnp.bfloat16 and not (store_layout and use_fused):
+        raise ValueError(
+            "bf16 R operands need the store layout and the fully-fused "
+            "step — gate the producer on bf16_store_ok")
     flowp = jnp.pad(flow, pad)
 
     # scan, not a Python loop: the iteration body (the Mosaic kernels)
@@ -210,10 +222,13 @@ def update_flow_fused(R0, R1, flow, winsize: int, iterations: int,
                 # exact recompute: the fused blur consumed M before the
                 # spill correction could run (rare; free when untaken).
                 # Chained single-array operands slice here — the copies
-                # materialize only when the cond fires
+                # materialize only when the cond fires.  bf16 R widens
+                # to f32 here too (exact embedding): the two-kernel
+                # replay then reproduces the fused step's values bitwise
                 Mst, _t = update_matrices_store(
-                    R0p[:B], R1p[r1_frame_off:r1_frame_off + B], fl_in,
-                    scp, h, w)
+                    R0p[:B].astype(jnp.float32),
+                    R1p[r1_frame_off:r1_frame_off + B].astype(jnp.float32),
+                    fl_in, scp, h, w)
                 return blur_solve_store(Mst, winsize, gaussian)
 
             fl_next = jax.lax.cond(jnp.sum(nvp) > 0, slow,

@@ -80,6 +80,25 @@ N_SLOTS = 2
 # Module-global for the A/B harness (benchmarks/exp_store_emit.py).
 STORE_EMIT = True
 
+# Store R in bfloat16 (store-emit + fully-fused-iterate levels only): R is
+# the pipeline's dominant HBM traffic (polyexp writes it once, the iterate
+# reads it 3x per level — docs/KERNELS.md roofline), and quantizing it to
+# bf16 costs ~0.002 px of EPE vs cv2 (1080p: 0.2933 -> 0.2952 smooth,
+# 0.2803 -> 0.2799 boundary; gate is 0.5) while halving those bytes.  The
+# consumer kernels widen to f32 immediately after load, so the flow is
+# BITWISE equal to the f32 pipeline run on quantize_r_bf16(R) — the
+# differential tests use exactly that oracle.  Module-global for the A/B
+# harness (benchmarks/exp_r_bf16.py).
+R_BF16 = False
+
+
+def quantize_r_bf16(R):
+    """The exact rounding the bf16 R store applies: one f32->bf16->f32
+    round trip (round-to-nearest-even, same as Mosaic's in-kernel cast).
+    The XLA twin applies this to core.poly_exp output to reproduce the
+    bf16 pipeline bitwise."""
+    return R.astype(jnp.bfloat16).astype(jnp.float32)
+
 
 def _ceil(a: int, m: int) -> int:
     return ((a + m - 1) // m) * m
@@ -89,7 +108,8 @@ def _kernel_fused(ip_hbm, aux_ref, r_ref, win, sem, *, n: int, pad: int,
                   wp: int, out_w: int, n_bands: int, tile_h: int, g,
                   xg, xxg, ig11, ig03, ig33, ig55, ns: int = 2, pre=None,
                   h_real: int = 0, w_real: int = 0, in_bf16: bool = False,
-                  out_col_off: int = 0, row_shift: int = 0):
+                  out_col_off: int = 0, row_shift: int = 0,
+                  out_bf16: bool = False):
     """ig-folded variant: the five outputs are separable correlations with
     COMBINED weights, so the inverse-Gram scalars vanish into the taps —
 
@@ -137,8 +157,12 @@ def _kernel_fused(ip_hbm, aux_ref, r_ref, win, sem, *, n: int, pad: int,
 
     dma(slot, gi).wait()
 
+    odt = jnp.bfloat16 if out_bf16 else jnp.float32
+
     def emit(x0, cw, outs):
-        o_by, o_bx, o_ayy, o_axx, o_axy = outs
+        # out_bf16: the one f32->bf16 rounding of the bf16 R store (the
+        # moment math above stays f32; consumers widen back on load)
+        o_by, o_bx, o_ayy, o_axx, o_axy = (o.astype(odt) for o in outs)
         osl = slice(out_col_off + x0, out_col_off + x0 + cw)
         r_ref[0, 0, :, osl] = o_by
         r_ref[0, 1, :, osl] = o_bx
@@ -150,7 +174,7 @@ def _kernel_fused(ip_hbm, aux_ref, r_ref, win, sem, *, n: int, pad: int,
         # store layout: lane halos feed the update kernel's (r * sc)
         # with sc == 0 — any FINITE value works, but the VMEM out block
         # is uninitialized (NaN * 0 would poison M), so zero them
-        z = jnp.zeros((tile_h, out_col_off), jnp.float32)
+        z = jnp.zeros((tile_h, out_col_off), odt)
         for c in range(5):
             r_ref[0, c, :, :out_col_off] = z
             r_ref[0, c, :, out_col_off + out_w:] = z
@@ -323,7 +347,8 @@ def _kernel(ip_hbm, r_ref, win, sem, *, n: int, pad: int, wp: int,
 @functools.lru_cache(maxsize=64)
 def _build(batch: int, h: int, w: int, poly_n: int, poly_sigma: float,
            fused_ig: bool = True, pre: tuple = None,
-           in_bf16: bool = False, store: tuple = None):
+           in_bf16: bool = False, store: tuple = None,
+           out_bf16: bool = False):
     g, xg, xxg, ig11, ig03, ig33, ig55 = poly_exp_weights(poly_n, poly_sigma)
     pad = _ceil(max(poly_n, 1), 8)
     if store is not None:
@@ -358,13 +383,15 @@ def _build(batch: int, h: int, w: int, poly_n: int, poly_sigma: float,
     def omap(gi):
         return (gi // n_bands, 0, gi % n_bands, 0)
 
+    assert not (out_bf16 and store is None)
     common = dict(n=poly_n, pad=pad, wp=wp, out_w=out_w, n_bands=n_bands,
                   tile_h=tile_h, ns=ns,
                   g=tuple(float(x) for x in g),
                   xg=tuple(float(x) for x in xg),
                   xxg=tuple(float(x) for x in xxg),
                   ig11=ig11, ig03=ig03, ig33=ig33, ig55=ig55)
-    off = dict(out_col_off=out_col_off, row_shift=row_shift)
+    off = dict(out_col_off=out_col_off, row_shift=row_shift,
+               out_bf16=out_bf16)
     if pre is not None:
         assert fused_ig and len(pre) == 3 and poly_n + 1 < pad
         body = functools.partial(_kernel_fused, pre=pre, h_real=h,
@@ -408,8 +435,9 @@ def _build(batch: int, h: int, w: int, poly_n: int, poly_sigma: float,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 5, tile_h, out_block_w), omap,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((batch, 5, hp, out_block_w),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, 5, hp, out_block_w),
+            jnp.bfloat16 if out_bf16 else jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((ns, rows, wp),
                        jnp.bfloat16 if in_bf16 else jnp.float32),
@@ -587,7 +615,7 @@ def store_emit_supported(h: int, w: int, poly_n: int) -> bool:
 
 def poly_exp_pallas_store(img, Hs: int, Ws: int, poly_n: int,
                           poly_sigma: float, pre_taps=None,
-                          exact_u8: bool = False):
+                          exact_u8: bool = False, out_bf16: bool = False):
     """Batched fused polyexp emitting R DIRECTLY in the fused iterate's
     store layout: img (B, H, W) -> R (B, 5, Hs, Ws) f32 with image pixel
     (0, 0) at (ROW_OFF, COL_OFF) == (16, 8) (pallas/fused_iterate.py's
@@ -611,13 +639,13 @@ def poly_exp_pallas_store(img, Hs: int, Ws: int, poly_n: int,
             gaussian_blur_reflect101)
         return poly_exp_pallas_store(
             gaussian_blur_reflect101(img, np.asarray(pre_taps)),
-            Hs, Ws, poly_n, poly_sigma)
+            Hs, Ws, poly_n, poly_sigma, out_bf16=out_bf16)
     pad = _ceil(max(poly_n, 1), 8)
     pre = tuple(float(t) for t in pre_taps) if pre_taps is not None else None
     use_bf16 = bool(exact_u8) and pre is not None
     kernel, pad, hp, wp = _build(B, H, W, poly_n, poly_sigma,
                                  fused_ig=True, pre=pre, in_bf16=use_bf16,
-                                 store=(Hs, Ws))
+                                 store=(Hs, Ws), out_bf16=out_bf16)
     # window DMA i reads ip rows [i*tile_h, i*tile_h + tile_h + 2*pad):
     # the input needs 2*pad extra rows over the Hs output rows, with the
     # image origin at row pad + ROW_OFF so window row `pad` lands on the

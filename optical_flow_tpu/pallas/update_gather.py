@@ -186,7 +186,7 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
                    fast: bool = True,
                    split: bool = True, blur=None, mbuf=None,
                    viol_counts: bool = False, poly=None,
-                   frame_off: int = 0):
+                   frame_off: int = 0, winf=None, r_bf16: bool = False):
     """Grid: (B * H/TILE_H,) row bands.  Each step processes an (TILE_H, W)
     band of one batch element: one dynamic-window DMA (5, WIN_H, W)
     anchored at the band's minimum fetched row (precomputed at XLA level
@@ -275,6 +275,12 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
         the moment passes that turn the raw windows into R windows."""
         dma(slot, gi).wait()
         if poly is None:
+            if r_bf16:
+                # bf16 R mode: the window arrives in bf16 (half the HBM
+                # read) and is widened ONCE to the f32 scratch the fetch
+                # passes read — bf16 -> f32 is exact, so everything
+                # downstream is bitwise the f32 pipeline on quantized R
+                winf[...] = win[slot].astype(jnp.float32)
             return
         dma0(slot, gi).wait()
 
@@ -429,6 +435,8 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
     def load_win1(c, v8, off):
         if poly is not None:    # computed R window: no slot axis
             return win[c, pl.ds(v8, 16), pl.ds(off, TILE_W)]
+        if r_bf16:              # widened copy (see wait_windows)
+            return winf[c, pl.ds(v8, 16), pl.ds(off, TILE_W)]
         return win[slot, c, pl.ds(v8, 16), pl.ds(off, TILE_W)]
 
     def full_passes(sub_scalars=None):
@@ -451,6 +459,10 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
                     win2, sem2)
                 cp2.start()
                 cp2.wait()
+                if r_bf16:
+                    # pass 1 has fully consumed the widened pass-1 window
+                    # by now — reuse winf for the re-anchored window
+                    winf[...] = win2[...].astype(jnp.float32)
             else:
                 cp2 = pltpu.make_async_copy(
                     r1_hbm.at[gi // n_bands,
@@ -465,9 +477,10 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
 
                 moment_band(raw2[...], win_h, emit2, abs_row0=sy2 - 16,
                             aux_rows=poly["aux1"], **pe)
+            w2 = winf if r_bf16 else win2
             covered2 = fetch_pass(
-                lambda c, v8, off: win2[c, pl.ds(v8, 16),
-                                        pl.ds(off, TILE_W)],
+                lambda c, v8, off: w2[c, pl.ds(v8, 16),
+                                      pl.ds(off, TILE_W)],
                 sy2, spill, gated=True, vmax=V2_MAX)
             emit_viol(spill & jnp.logical_not(covered2))
 
@@ -504,6 +517,10 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
                     win2, sem2)
                 cp2.start()
                 cp2.wait()
+                if r_bf16:
+                    # pass 1 has fully consumed the widened pass-1 window
+                    # by now — reuse winf for the re-anchored window
+                    winf[...] = win2[...].astype(jnp.float32)
             else:
                 cp2 = pltpu.make_async_copy(
                     r1_hbm.at[gi // n_bands,
@@ -518,9 +535,10 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
 
                 moment_band(raw2[...], win_h, emit2, abs_row0=sy2 - 16,
                             aux_rows=poly["aux1"], **pe)
+            w2 = winf if r_bf16 else win2
             covered2 = fetch_pass(
-                lambda c, v8, off: win2[c, pl.ds(v8, 16),
-                                        pl.ds(off, TILE_W)],
+                lambda c, v8, off: w2[c, pl.ds(v8, 16),
+                                      pl.ds(off, TILE_W)],
                 sy2, spill, gated=True, vmax=V2_MAX)
             emit_viol(spill & jnp.logical_not(covered2))
 
@@ -579,6 +597,9 @@ def _update_kernel(anchors_ref, r0_ref, flow_ref, sc_ref, r1_hbm,
     fetched = jnp.stack([fbuf[c] for c in range(5)])
 
     r0 = r0_ref[0] if poly is None else r0_ref[...]
+    if r_bf16:
+        # one exact widen per band; the M arithmetic below stays f32
+        r0 = r0.astype(jnp.float32)
     f0 = fetched[0]
     f1 = fetched[1]
     r4 = jnp.where(inside, (r0[2] + fetched[2]) * 0.5, r0[2])
@@ -803,14 +824,20 @@ def _fused_blur_emit(fl_ref, mbuf, mvals, i, *, n_bands, tile_h, Wp,
 
 
 def _update_blur_kernel(anchors_ref, r0_ref, flow_ref, r1_hbm,
-                        fl_ref, viol_ref, win, win2, fbuf, mbuf, sem, sem2,
-                        **kw):
+                        fl_ref, viol_ref, win, win2, *scratch, **kw):
     """Fused variant: same update machinery, the M slot is the flow
     output, the extra mbuf scratch is the persistent M ring, and the
-    border scale is computed analytically in-kernel (sc_ref=None)."""
+    border scale is computed analytically in-kernel (sc_ref=None).
+    bf16-R builds add a winf f32 scratch (the once-per-band widened
+    window) between win2 and fbuf."""
+    if len(scratch) == 5:
+        winf, fbuf, mbuf, sem, sem2 = scratch
+    else:
+        fbuf, mbuf, sem, sem2 = scratch
+        winf = None
     _update_kernel(anchors_ref, r0_ref, flow_ref, None, r1_hbm,
                    fl_ref, viol_ref, win, win2, fbuf, sem, sem2,
-                   mbuf=mbuf, **kw)
+                   mbuf=mbuf, winf=winf, **kw)
 
 
 # VMEM gate: the fused kernel adds the (5, 3*tile_h, Ws) f32 M ring to
@@ -834,7 +861,7 @@ def fused_blur_supported(h: int, w: int, winsize: int) -> bool:
 def _build_fused_blur(batch: int, h: int, w: int, h_real: int, w_real: int,
                       winsize: int, gaussian: bool, tile_h: int = 16,
                       fast: bool = True, split: bool = True,
-                      frame_off: int = 0):
+                      frame_off: int = 0, r_bf16: bool = False):
     from optical_flow_tpu.models.farneback.core import gaussian_window_kernel
     from optical_flow_tpu.pallas.blur_solve import _PAD_S, _factor
     # tile_h == ROW_OFF is the classic band-aligned layout; 2*ROW_OFF
@@ -879,8 +906,12 @@ def _build_fused_blur(batch: int, h: int, w: int, h_real: int, w_real: int,
                          memory_space=pltpu.SMEM),          # spill counts
         ],
         scratch_shapes=[
-            pltpu.VMEM((n_slots, 5, win_h, w), jnp.float32),
-            pltpu.VMEM((5, win_h, w), jnp.float32),
+            pltpu.VMEM((n_slots, 5, win_h, w),
+                       jnp.bfloat16 if r_bf16 else jnp.float32),
+            pltpu.VMEM((5, win_h, w),
+                       jnp.bfloat16 if r_bf16 else jnp.float32),
+        ] + ([pltpu.VMEM((5, win_h, w), jnp.float32)]    # winf (widened)
+             if r_bf16 else []) + [
             pltpu.VMEM((5, tile_h, w), jnp.float32),
             pltpu.VMEM((5, 3 * tile_h, w), jnp.float32),    # M ring
             pltpu.SemaphoreType.DMA((n_slots,)),
@@ -895,10 +926,12 @@ def _build_fused_blur(batch: int, h: int, w: int, h_real: int, w_real: int,
     # default, so raise the limit to the analytic need + headroom — this
     # is what lifts FUSED_BLUR_WS_LIMIT from 2304 (the old default-budget
     # ceiling) to MAX_WP.
-    scratch_rows = (n_slots * 5 * win_h + 5 * win_h + 5 * tile_h
-                    + 5 * 3 * tile_h)
-    block_rows = 2 * (5 * tile_h + 2 * tile_h + 2 * tile_h)
-    vmem_need = (scratch_rows + block_rows) * w * 4
+    rb = 2 if r_bf16 else 4      # R bytes (windows + R0 blocks)
+    scratch_bytes = ((n_slots * 5 * win_h + 5 * win_h) * rb
+                     + (5 * win_h * 4 if r_bf16 else 0)   # winf
+                     + (5 * tile_h + 5 * 3 * tile_h) * 4)
+    block_bytes = 2 * (5 * tile_h * rb + (2 * tile_h + 2 * tile_h) * 4)
+    vmem_need = (scratch_bytes + block_bytes) * w
     params = pltpu.CompilerParams(
         vmem_limit_bytes=max(vmem_need + (8 << 20), 16 << 20))
     kernel = pl.pallas_call(
@@ -907,7 +940,7 @@ def _build_fused_blur(batch: int, h: int, w: int, h_real: int, w_real: int,
                           row_off=ROW_OFF, col_off=COL_OFF, tile_h=tile_h,
                           win_h=win_h,
                           fast=fast, split=split, viol_counts=True,
-                          frame_off=frame_off,
+                          frame_off=frame_off, r_bf16=r_bf16,
                           blur=dict(m=m, taps=taps, inv_area=inv_area,
                                     fac=fac)),
         grid_spec=grid_spec,
@@ -946,6 +979,8 @@ def fused_update_blur_store(R0p, R1p, flowp, h: int, w: int,
     B = flowp.shape[0]
     _, _, Hs, Ws = R0p.shape
     assert R0p.shape[0] >= B and R1p.shape[0] >= B + frame_off
+    r_bf16 = R0p.dtype == jnp.bfloat16
+    assert R1p.dtype == R0p.dtype
     win_h = tile_h + 16
     n_bands = Hs // tile_h
     cols = jnp.arange(Ws)
@@ -960,7 +995,8 @@ def fused_update_blur_store(R0p, R1p, flowp, h: int, w: int,
     anchors = anchors.reshape(B * n_bands)
     flow_st, counts = _build_fused_blur(
         B, Hs, Ws, h, w, winsize, bool(gaussian), tile_h=tile_h,
-        fast=FAST_UNIFORM, split=SPLIT_NONUNIFORM, frame_off=frame_off)(
+        fast=FAST_UNIFORM, split=SPLIT_NONUNIFORM, frame_off=frame_off,
+        r_bf16=r_bf16)(
             anchors, R0p, flowp, R1p)     # sc computed in-kernel
     # per-band f32 counts are exact integers (<= 16*Ws < 2^24 per band)
     n_viol_per = jnp.sum(counts, axis=(1, 2)).astype(jnp.int32)

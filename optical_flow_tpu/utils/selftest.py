@@ -203,6 +203,35 @@ def _cases(quick: bool = False) -> List[Dict]:
     add("fused_iterate/chunked_spill_128x5000", 2e-3, 1e-3,
         fused_case(128, 5000, B=1, flow_mod=_spill_bimodal))
 
+    # bf16 R operands (polyexp.R_BF16 wiring): the store-emitting polyexp
+    # casts R once to bf16 and the fused step widens it back on load —
+    # the flow must be BITWISE the f32 step run on the pre-widened
+    # operands (bf16 -> f32 is exact), on real Mosaic like the unit test
+    # asserts in interpret mode
+    def fused_bf16_case(H, W, ws=15, iters=2, B=2):
+        def run():
+            from optical_flow_tpu.pallas.fused_iterate import (
+                bf16_store_ok, fused_store_geometry, update_flow_fused)
+            from optical_flow_tpu.pallas.polyexp import poly_exp_pallas_store
+            assert bf16_store_ok(H, W, ws)
+            geom = fused_store_geometry(H, W, ws)
+            rng = np.random.default_rng(11)
+            img = rng.uniform(0, 255, (2 * B, H, W)).astype(np.float32)
+            Rb = poly_exp_pallas_store(jnp.asarray(img), *geom, 5, 1.2,
+                                       out_bf16=True)
+            flow = jnp.asarray(
+                rng.standard_normal((B, 2, H, W)).astype(np.float32) * 1.5)
+            out, _t = update_flow_fused(Rb[:B], Rb[B:], flow, ws, iters,
+                                        store_layout=True)
+            ref, _rt = update_flow_fused(Rb[:B].astype(jnp.float32),
+                                         Rb[B:].astype(jnp.float32),
+                                         flow, ws, iters, store_layout=True)
+            return out, ref
+        return run
+
+    add("fused_iterate/bf16_bitwise_64x512", 0.0, 0.0,
+        fused_bf16_case(64, 512))
+
     # --- gauss: pyramid smoothing (REFLECT_101) ---
     def gauss_case(ks, sigma, H=50, W=200, B=2):
         def run():

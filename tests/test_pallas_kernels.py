@@ -934,6 +934,146 @@ class TestPolyExpStoreEmit:
         np.testing.assert_array_equal(chain_outs[True], chain_outs[False])
 
 
+class TestRBf16:
+    """bf16 R storage (polyexp.R_BF16): the store-emitting polyexp casts
+    R once to bf16 (round-to-nearest-even) and the fully-fused iterate
+    widens it back to f32 immediately on load, so every output is
+    BITWISE the f32 pipeline run on quantize_r_bf16(R) — quantization is
+    the ONLY numerical change (measured ~0.002 px EPE vs cv2 at 1080p,
+    gate 0.5)."""
+
+    @staticmethod
+    def _geom(H, W):
+        return ((H + 15) // 16) * 16 + 32, ((W + 16 + 127) // 128) * 128
+
+    def test_store_emit_bf16_is_quantized_store(self):
+        from optical_flow_tpu.pallas.polyexp import (poly_exp_pallas,
+                                                     poly_exp_pallas_store,
+                                                     quantize_r_bf16)
+        rng = np.random.default_rng(21)
+        H, W = 48, 200
+        img = jnp.asarray(rng.uniform(0, 255, (2, H, W)).astype(np.float32))
+        Hs, Ws = self._geom(H, W)
+        out = poly_exp_pallas_store(img, Hs, Ws, 5, 1.2, out_bf16=True)
+        assert out.dtype == jnp.bfloat16
+        ref = np.asarray(quantize_r_bf16(poly_exp_pallas(img, 5, 1.2)))
+        outf = np.asarray(out.astype(jnp.float32))
+        np.testing.assert_array_equal(outf[:, :, 16:16 + H, 8:8 + W], ref)
+        assert np.isfinite(outf).all()
+        assert (outf[:, :, :, :8] == 0).all()
+        assert (outf[:, :, :, Ws - 8:] == 0).all()
+
+    def test_fused_iterate_bf16_bitwise_vs_widened(self):
+        """The fused step on bf16 operands must equal the same step on
+        the pre-widened f32 copies bitwise (widen-on-load exactness)."""
+        from optical_flow_tpu.pallas.fused_iterate import (
+            fused_store_geometry, update_flow_fused)
+        from optical_flow_tpu.pallas.polyexp import poly_exp_pallas_store
+        rng = np.random.default_rng(22)
+        H, W = 48, 112
+        geom = fused_store_geometry(H, W, 15)
+        assert geom == self._geom(H, W)
+        img0 = jnp.asarray(rng.uniform(0, 255, (2, H, W)).astype(np.float32))
+        img1 = jnp.asarray(rng.uniform(0, 255, (2, H, W)).astype(np.float32))
+        flow = jnp.asarray(
+            (rng.standard_normal((2, 2, H, W)) * 0.5).astype(np.float32))
+        R0b = poly_exp_pallas_store(img0, *geom, 5, 1.2, out_bf16=True)
+        R1b = poly_exp_pallas_store(img1, *geom, 5, 1.2, out_bf16=True)
+        fl_a, t_a = update_flow_fused(R0b, R1b, flow, 15, 2,
+                                      store_layout=True)
+        fl_b, t_b = update_flow_fused(R0b.astype(jnp.float32),
+                                      R1b.astype(jnp.float32), flow, 15, 2,
+                                      store_layout=True)
+        np.testing.assert_array_equal(np.asarray(fl_a), np.asarray(fl_b))
+        np.testing.assert_array_equal(np.asarray(t_a), np.asarray(t_b))
+
+    @pytest.mark.slow
+    def test_bf16_spill_replay_bitwise(self):
+        """Spilled frames (pass-2 + the two-kernel lax.cond replay) under
+        bf16 operands: the replay widens at XLA level; flow and tiers
+        must still match the pre-widened run exactly."""
+        from optical_flow_tpu.pallas.fused_iterate import (
+            fused_store_geometry, update_flow_fused)
+        from optical_flow_tpu.pallas.polyexp import poly_exp_pallas_store
+        rng = np.random.default_rng(23)
+        H, W = 64, 200
+        geom = fused_store_geometry(H, W, 15)
+        img0 = jnp.asarray(rng.uniform(0, 255, (1, H, W)).astype(np.float32))
+        img1 = jnp.asarray(rng.uniform(0, 255, (1, H, W)).astype(np.float32))
+        fl = np.full((1, 2, H, W), 1.5, np.float32)
+        fl[:, 1, 30:32, 100:160] = 45.0      # escapes the window
+        flow = jnp.asarray(fl)
+        R0b = poly_exp_pallas_store(img0, *geom, 5, 1.2, out_bf16=True)
+        R1b = poly_exp_pallas_store(img1, *geom, 5, 1.2, out_bf16=True)
+        fl_a, t_a = update_flow_fused(R0b, R1b, flow, 15, 2,
+                                      store_layout=True)
+        fl_b, t_b = update_flow_fused(R0b.astype(jnp.float32),
+                                      R1b.astype(jnp.float32), flow, 15, 2,
+                                      store_layout=True)
+        assert np.asarray(t_a).sum() > 0     # spill exercised
+        np.testing.assert_array_equal(np.asarray(fl_a), np.asarray(fl_b))
+        np.testing.assert_array_equal(np.asarray(t_a), np.asarray(t_b))
+
+    def test_chain_bf16_single_array(self):
+        """Chained single-array mode with bf16 stores: frame offset plus
+        widen-on-load, against the pre-widened chained run."""
+        from optical_flow_tpu.pallas.fused_iterate import (
+            fused_store_geometry, update_flow_fused)
+        from optical_flow_tpu.pallas.polyexp import poly_exp_pallas_store
+        rng = np.random.default_rng(24)
+        H, W, N = 48, 112, 3
+        geom = fused_store_geometry(H, W, 15, chain=True)
+        frames = jnp.asarray(
+            rng.uniform(0, 255, (N, H, W)).astype(np.float32))
+        flow = jnp.asarray(
+            (rng.standard_normal((N - 1, 2, H, W)) * 0.5)
+            .astype(np.float32))
+        Rbp = poly_exp_pallas_store(frames, *geom, 5, 1.2, out_bf16=True)
+        fl_a, t_a = update_flow_fused(Rbp, Rbp, flow, 15, 2,
+                                      store_layout=True, r1_frame_off=1)
+        Rw = Rbp.astype(jnp.float32)
+        fl_b, t_b = update_flow_fused(Rw, Rw, flow, 15, 2,
+                                      store_layout=True, r1_frame_off=1)
+        np.testing.assert_array_equal(np.asarray(fl_a), np.asarray(fl_b))
+        np.testing.assert_array_equal(np.asarray(t_a), np.asarray(t_b))
+
+    @pytest.mark.slow
+    def test_production_wiring_r_bf16(self):
+        """_flow_pyramid with R_BF16 on (TPU picks forced on CPU): runs
+        end-to-end in both batch and chain shapes, and deviates from the
+        f32 store path only by the R quantization (small, bounded)."""
+        import optical_flow_tpu.models.farneback.flow as fl
+        import optical_flow_tpu.pallas.polyexp as pe
+        from optical_flow_tpu.models.farneback.flow import build_plan
+        from optical_flow_tpu.utils.config import FarnebackConfig
+        rng = np.random.default_rng(25)
+        H, W = 48, 112
+        prev = jnp.asarray(rng.integers(0, 256, (2, H, W)).astype(np.float32))
+        nxt = jnp.asarray(rng.integers(0, 256, (2, H, W)).astype(np.float32))
+        plan = build_plan(H, W, FarnebackConfig())
+        frames = jnp.concatenate([prev, nxt[:1]], axis=0)
+        orig_on_tpu, orig_bf16 = fl._on_tpu, pe.R_BF16
+        outs, chain_outs = {}, {}
+        try:
+            fl._on_tpu = lambda: True
+            for bf16 in (False, True):
+                pe.R_BF16 = bf16
+                flow, _t = fl._flow_pyramid(
+                    prev.astype(jnp.float32), nxt.astype(jnp.float32),
+                    plan, use_pallas=True, input_u8=True)
+                outs[bf16] = np.asarray(flow)
+                cflow, _ct = fl._flow_pyramid(
+                    frames.astype(jnp.float32), None, plan,
+                    use_pallas=True, chain=True, input_u8=True)
+                chain_outs[bf16] = np.asarray(cflow)
+        finally:
+            fl._on_tpu, pe.R_BF16 = orig_on_tpu, orig_bf16
+        for a, b in ((outs[True], outs[False]),
+                     (chain_outs[True], chain_outs[False])):
+            assert np.isfinite(a).all()
+            assert np.abs(a - b).max() < 0.1   # quantization only
+
+
 class TestGaussResizeKernel:
     @pytest.mark.parametrize("H,W,s,ks,sigma", [
         (64, 256, 2, 3, 0.5),       # level 1 params
