@@ -175,6 +175,35 @@ def main():
                            f"u8 read + bf16 pad copy + bf16 {band}-row "
                            f"windows (~{of:.2f}x) + 5ch f32 store"))
 
+            # ---- the PRODUCTION L0 polyexp: store-layout emission ------
+            # (poly_exp_pallas_store writes R directly in the iterate's
+            # (B, 5, Hs, Ws) store layout — STORE_EMIT path in
+            # flow.py:238-247; measured per frame-half like production)
+            from optical_flow_tpu.pallas.fused_iterate import (
+                fused_store_geometry)
+            from optical_flow_tpu.pallas.polyexp import (
+                poly_exp_pallas_store, store_emit_supported)
+            if store_emit_supported(Hl, Wl, cfg.poly_n):
+                Hs0, Ws0 = fused_store_geometry(Hl, Wl, cfg.winsize)
+                img_h = jax.device_put(
+                    rng.integers(0, 256, (B, Hl, Wl), dtype=np.uint8))
+                t = timed(jax.jit(lambda x: poly_exp_pallas_store(
+                    x, Hs0, Ws0, cfg.poly_n, cfg.poly_sigma,
+                    pre_taps=taps, exact_u8=True)), (img_h,))
+                t *= 2.0                       # two frame-half calls
+                bandS = 32 if Ws0 <= 2304 else 16
+                ofS = (bandS + halo + 8) / bandS
+                # ip pad copy covers (Hs+2*pad, Ws); windows tile the FULL
+                # padded height; 5ch f32 store is (Hs, Ws) incl. halos
+                ipx = (Hs0 + 16) * Ws0
+                nbytes = nf * (Hl * Wl + 2 * ipx + 2 * ofS * ipx
+                               + 5 * 4 * Hs0 * Ws0)
+                stages.append(("polyexp_L0_store(prod)", t, nbytes,
+                               f"u8 read + bf16 ip({Hs0 + 16}x{Ws0}) pad "
+                               f"copy + bf16 {bandS}-row windows "
+                               f"(~{ofS:.2f}x) + 5ch f32 (Hs,Ws) store, "
+                               "x2 frame halves"))
+
         # ---- fused iterate marginal per iteration -----------------------
         Hs = _ceil(Hl, 16) + 32
         Ws = _ceil(Wl + 2 * COL_OFF, 128)

@@ -73,6 +73,16 @@ PAD_BUILDER = "zdus"
 # harness (benchmarks/exp_polyexp_prod.py, configs like zdus/32/s3/u8).
 N_SLOTS = 2
 
+# Images per grid step (1, 2, or 4).  polyexp L0 is DMA issue-latency
+# bound, not byte bound (docs/KERNELS.md roofline: 18% of the DMA
+# ceiling, and N_SLOTS depth 3/4 measured a no-op) — each band pays a
+# fixed window-DMA + store turnaround.  Processing n_imgs batch images
+# per grid step issues ONE strided window DMA covering n_imgs images'
+# same band rows and divides the grid-step count by n_imgs, amortizing
+# the per-step latency.  Module-global for the A/B harness
+# (benchmarks/exp_pair_step.py).
+PAIR_STEP = 1
+
 # Emit R directly in the fused iterate's padded store layout
 # (poly_exp_pallas_store), deleting the per-level jnp.pad(R0)/jnp.pad(R1)
 # relayout copies in update_flow_fused — the ~6 ms/batch the round-4
@@ -109,7 +119,7 @@ def _kernel_fused(ip_hbm, aux_ref, r_ref, win, sem, *, n: int, pad: int,
                   xg, xxg, ig11, ig03, ig33, ig55, ns: int = 2, pre=None,
                   h_real: int = 0, w_real: int = 0, in_bf16: bool = False,
                   out_col_off: int = 0, row_shift: int = 0,
-                  out_bf16: bool = False):
+                  out_bf16: bool = False, n_imgs: int = 1):
     """ig-folded variant: the five outputs are separable correlations with
     COMBINED weights, so the inverse-Gram scalars vanish into the taps —
 
@@ -138,9 +148,14 @@ def _kernel_fused(ip_hbm, aux_ref, r_ref, win, sem, *, n: int, pad: int,
     def dma(slot, step):
         b = step // n_bands
         i = step % n_bands
-        return pltpu.make_async_copy(
-            ip_hbm.at[b, pl.ds(i * tile_h, rows), :], win.at[slot],
-            sem.at[slot])
+        if n_imgs > 1:
+            # one strided copy covering n_imgs images' same band rows —
+            # n_imgs contiguous row blocks, a single DMA issue
+            src = ip_hbm.at[pl.ds(b * n_imgs, n_imgs),
+                            pl.ds(i * tile_h, rows), :]
+        else:
+            src = ip_hbm.at[b, pl.ds(i * tile_h, rows), :]
+        return pltpu.make_async_copy(src, win.at[slot], sem.at[slot])
 
     slot = jax.lax.rem(gi, ns)
 
@@ -159,33 +174,36 @@ def _kernel_fused(ip_hbm, aux_ref, r_ref, win, sem, *, n: int, pad: int,
 
     odt = jnp.bfloat16 if out_bf16 else jnp.float32
 
-    def emit(x0, cw, outs):
-        # out_bf16: the one f32->bf16 rounding of the bf16 R store (the
-        # moment math above stays f32; consumers widen back on load)
-        o_by, o_bx, o_ayy, o_axx, o_axy = (o.astype(odt) for o in outs)
-        osl = slice(out_col_off + x0, out_col_off + x0 + cw)
-        r_ref[0, 0, :, osl] = o_by
-        r_ref[0, 1, :, osl] = o_bx
-        r_ref[0, 2, :, osl] = o_ayy
-        r_ref[0, 3, :, osl] = o_axx
-        r_ref[0, 4, :, osl] = o_axy
+    for im in range(n_imgs):
+        def emit(x0, cw, outs, im=im):
+            # out_bf16: the one f32->bf16 rounding of the bf16 R store
+            # (the moment math above stays f32; consumers widen back to
+            # f32 on load)
+            o_by, o_bx, o_ayy, o_axx, o_axy = (o.astype(odt) for o in outs)
+            osl = slice(out_col_off + x0, out_col_off + x0 + cw)
+            r_ref[im, 0, :, osl] = o_by
+            r_ref[im, 1, :, osl] = o_bx
+            r_ref[im, 2, :, osl] = o_ayy
+            r_ref[im, 3, :, osl] = o_axx
+            r_ref[im, 4, :, osl] = o_axy
 
-    if out_col_off:
-        # store layout: lane halos feed the update kernel's (r * sc)
-        # with sc == 0 — any FINITE value works, but the VMEM out block
-        # is uninitialized (NaN * 0 would poison M), so zero them
-        z = jnp.zeros((tile_h, out_col_off), odt)
-        for c in range(5):
-            r_ref[0, c, :, :out_col_off] = z
-            r_ref[0, c, :, out_col_off + out_w:] = z
+        if out_col_off:
+            # store layout: lane halos feed the update kernel's (r * sc)
+            # with sc == 0 — any FINITE value works, but the VMEM out
+            # block is uninitialized (NaN * 0 would poison M), so zero
+            z = jnp.zeros((tile_h, out_col_off), odt)
+            for c in range(5):
+                r_ref[im, c, :, :out_col_off] = z
+                r_ref[im, c, :, out_col_off + out_w:] = z
 
-    aux_rows = None if pre is None else (aux_ref[0, 0:1, :],
-                                         aux_ref[0, 1:2, :])
-    moment_band(win[slot], tile_h, emit, n=n, pad=pad, out_w=out_w,
-                g=g, xg=xg, xxg=xxg, ig11=ig11, ig03=ig03, ig33=ig33,
-                ig55=ig55, pre=pre, aux_rows=aux_rows,
-                abs_row0=(gi % n_bands) * tile_h - row_shift,
-                h_real=h_real, w_real=w_real, in_bf16=in_bf16)
+        aux_rows = None if pre is None else (aux_ref[im, 0:1, :],
+                                             aux_ref[im, 1:2, :])
+        wblk = win[slot, im] if n_imgs > 1 else win[slot]
+        moment_band(wblk, tile_h, emit, n=n, pad=pad, out_w=out_w,
+                    g=g, xg=xg, xxg=xxg, ig11=ig11, ig03=ig03, ig33=ig33,
+                    ig55=ig55, pre=pre, aux_rows=aux_rows,
+                    abs_row0=(gi % n_bands) * tile_h - row_shift,
+                    h_real=h_real, w_real=w_real, in_bf16=in_bf16)
 
 
 def moment_band(w, nr, emit, *, n, pad, out_w, g, xg, xxg, ig11, ig03,
@@ -348,7 +366,7 @@ def _kernel(ip_hbm, r_ref, win, sem, *, n: int, pad: int, wp: int,
 def _build(batch: int, h: int, w: int, poly_n: int, poly_sigma: float,
            fused_ig: bool = True, pre: tuple = None,
            in_bf16: bool = False, store: tuple = None,
-           out_bf16: bool = False):
+           out_bf16: bool = False, n_imgs: int = 1):
     g, xg, xxg, ig11, ig03, ig33, ig55 = poly_exp_weights(poly_n, poly_sigma)
     pad = _ceil(max(poly_n, 1), 8)
     if store is not None:
@@ -379,13 +397,18 @@ def _build(batch: int, h: int, w: int, poly_n: int, poly_sigma: float,
     rows = 2 * pad + tile_h
     n_bands = hp // tile_h
     ns = N_SLOTS
+    assert n_imgs in (1, 2, 4) and (n_imgs == 1 or fused_ig)
+    if batch % n_imgs:
+        n_imgs = 1
 
     def omap(gi):
+        # block units: with an n_imgs-deep batch block, batch blocks
+        # count pairs/quads, so the same map covers every n_imgs
         return (gi // n_bands, 0, gi % n_bands, 0)
 
     assert not (out_bf16 and store is None)
     common = dict(n=poly_n, pad=pad, wp=wp, out_w=out_w, n_bands=n_bands,
-                  tile_h=tile_h, ns=ns,
+                  tile_h=tile_h, ns=ns, n_imgs=n_imgs,
                   g=tuple(float(x) for x in g),
                   xg=tuple(float(x) for x in xg),
                   xxg=tuple(float(x) for x in xxg),
@@ -398,7 +421,7 @@ def _build(batch: int, h: int, w: int, poly_n: int, poly_sigma: float,
                                  w_real=w, in_bf16=in_bf16, **off, **common)
         in_specs = [
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 2, wp), lambda gi: (gi // n_bands, 0, 0),
+            pl.BlockSpec((n_imgs, 2, wp), lambda gi: (gi // n_bands, 0, 0),
                          memory_space=pltpu.VMEM),
         ]
     else:
@@ -409,6 +432,7 @@ def _build(batch: int, h: int, w: int, poly_n: int, poly_sigma: float,
                 inner(ip_hbm, None, r_ref, win, sem)
         else:
             assert store is None
+            common.pop("n_imgs")
             body = functools.partial(_kernel, **common)
         in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
 
@@ -418,28 +442,32 @@ def _build(batch: int, h: int, w: int, poly_n: int, poly_sigma: float,
     # blocks) so band height is chosen by perf, not by the default
     # budget (see TILE32_WP_LIMIT).
     in_bytes = 2 if in_bf16 else 4
-    vmem_need = (ns * rows * wp * in_bytes            # window scratch
-                 + 2 * 5 * tile_h * out_block_w * 4   # out blocks (dbuf)
-                 + (2 * 2 * wp * 4 if pre is not None else 0)  # aux
+    vmem_need = (ns * n_imgs * rows * wp * in_bytes   # window scratch
+                 + 2 * n_imgs * 5 * tile_h * out_block_w * 4  # out (dbuf)
+                 + (2 * n_imgs * 2 * wp * 4 if pre is not None else 0)
                  # in-kernel live temporaries: the vertical-pass moment
                  # planes plus horizontal accumulators — Mosaic counts
                  # these against the scoped budget too, and they are
                  # what actually overflowed the default at tile 32/4K
-                 # (19.65 MB measured vs ~1.1 MB of scratch_shapes)
+                 # (19.65 MB measured vs ~1.1 MB of scratch_shapes).
+                 # The n_imgs sub-bands run sequentially, so these are
+                 # live once, not n_imgs times
                  + 24 * tile_h * wp * 4)
     params = pltpu.CompilerParams(
         vmem_limit_bytes=max(vmem_need + (8 << 20), 16 << 20))
+    win_shape = ((ns, n_imgs, rows, wp) if n_imgs > 1
+                 else (ns, rows, wp))
     kernel = pl.pallas_call(
         body,
-        grid=(batch * n_bands,),
+        grid=(batch // n_imgs * n_bands,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 5, tile_h, out_block_w), omap,
+        out_specs=pl.BlockSpec((n_imgs, 5, tile_h, out_block_w), omap,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
             (batch, 5, hp, out_block_w),
             jnp.bfloat16 if out_bf16 else jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((ns, rows, wp),
+            pltpu.VMEM(win_shape,
                        jnp.bfloat16 if in_bf16 else jnp.float32),
             pltpu.SemaphoreType.DMA((ns,)),
         ],
@@ -476,7 +504,8 @@ def poly_exp_pallas(img, poly_n: int, poly_sigma: float, pre_taps=None,
     use_bf16 = bool(exact_u8) and pre is not None and PAD_BUILDER == "zdus"
     kernel, pad, hp, wp = _build(B, H, W, poly_n, poly_sigma,
                                  fused_ig=FUSED_IG, pre=pre,
-                                 in_bf16=use_bf16)
+                                 in_bf16=use_bf16,
+                                 n_imgs=PAIR_STEP if FUSED_IG else 1)
     if pre is None:
         if PAD_BUILDER == "zdus" and H >= 1 and W >= 1:
             # zero-pad once, then write the pad-deep replicate bands with
@@ -645,7 +674,8 @@ def poly_exp_pallas_store(img, Hs: int, Ws: int, poly_n: int,
     use_bf16 = bool(exact_u8) and pre is not None
     kernel, pad, hp, wp = _build(B, H, W, poly_n, poly_sigma,
                                  fused_ig=True, pre=pre, in_bf16=use_bf16,
-                                 store=(Hs, Ws), out_bf16=out_bf16)
+                                 store=(Hs, Ws), out_bf16=out_bf16,
+                                 n_imgs=PAIR_STEP)
     # window DMA i reads ip rows [i*tile_h, i*tile_h + tile_h + 2*pad):
     # the input needs 2*pad extra rows over the Hs output rows, with the
     # image origin at row pad + ROW_OFF so window row `pad` lands on the

@@ -685,6 +685,53 @@ class TestPolyExpKernel:
         np.testing.assert_allclose(out, ref, atol=2e-2, rtol=1e-5)
 
 
+class TestPolyExpPairStep:
+    """PAIR_STEP=n processes n batch images per grid step (one strided
+    window DMA, 1/n grid steps — the latency-amortization lever for the
+    issue-latency-bound polyexp).  The sub-bands run the identical
+    moment_band body sequentially, so every variant must be BITWISE
+    equal to PAIR_STEP=1, and batches not divisible by n must fall back
+    to the single-image grid."""
+
+    @pytest.mark.parametrize("n_imgs", [2, 4])
+    def test_bitwise_equal_all_paths(self, n_imgs):
+        from optical_flow_tpu.models.farneback.params import gaussian_kernel
+        import optical_flow_tpu.pallas.polyexp as pe
+        rng = np.random.default_rng(11)
+        H, W = 48, 160
+        img = jnp.asarray(rng.uniform(0, 255, (4, H, W)).astype(np.float32))
+        img_u8 = jnp.asarray(
+            rng.integers(0, 256, (4, H, W)).astype(np.float32))
+        taps = tuple(gaussian_kernel(3, 0.0))
+        Hs, Ws = ((H + 15) // 16) * 16 + 32, ((W + 16 + 127) // 128) * 128
+
+        def run():
+            pe._build.cache_clear()
+            return (
+                np.asarray(pe.poly_exp_pallas(img, 5, 1.2)),
+                np.asarray(pe.poly_exp_pallas(img_u8, 5, 1.2,
+                                              pre_taps=taps,
+                                              exact_u8=True)),
+                np.asarray(pe.poly_exp_pallas_store(img, Hs, Ws, 5, 1.2)),
+                np.asarray(pe.poly_exp_pallas_store(
+                    img_u8, Hs, Ws, 5, 1.2, pre_taps=taps, exact_u8=True)),
+                # batch 3 not divisible by n: single-image fallback
+                np.asarray(pe.poly_exp_pallas(img[:3], 5, 1.2)),
+            )
+
+        orig = pe.PAIR_STEP
+        try:
+            pe.PAIR_STEP = 1
+            base = run()
+            pe.PAIR_STEP = n_imgs
+            got = run()
+        finally:
+            pe.PAIR_STEP = orig
+            pe._build.cache_clear()
+        for b, g in zip(base, got):
+            np.testing.assert_array_equal(b, g)
+
+
 class TestPolyExpPreSmooth:
     @pytest.mark.parametrize("H,W", [
         (32, 256),
