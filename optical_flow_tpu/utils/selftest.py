@@ -325,6 +325,33 @@ def _cases(quick: bool = False) -> List[Dict]:
     add("polyexp/pre_smooth_bf16_bitwise_33x257", 0.0, 0.0,
         poly_pre_bf16_case(33, 257))
 
+    # n-images-per-grid-step (PAIR_STEP): one strided window DMA per
+    # image pair/quad — must be BITWISE equal to the single-image grid
+    # (identical moment_band body per sub-band), on the production
+    # store-emit + pre-smooth + bf16-staging path
+    def poly_pair_case(n_imgs):
+        def run():
+            import optical_flow_tpu.pallas.polyexp as pe
+            taps = tuple(gaussian_kernel(3, 0.0))
+            rng = np.random.default_rng(9)
+            img = jnp.asarray(
+                rng.integers(0, 256, (4, 48, 200)).astype(np.float32))
+            orig = pe.PAIR_STEP
+            try:
+                pe.PAIR_STEP = 1
+                ref = pe.poly_exp_pallas_store(img, 80, 256, 5, 1.2,
+                                               pre_taps=taps, exact_u8=True)
+                pe.PAIR_STEP = n_imgs
+                out = pe.poly_exp_pallas_store(img, 80, 256, 5, 1.2,
+                                               pre_taps=taps, exact_u8=True)
+            finally:
+                pe.PAIR_STEP = orig
+            return out, ref
+        return run
+
+    add("polyexp/pair2_bitwise_48x200", 0.0, 0.0, poly_pair_case(2))
+    add("polyexp/pair4_bitwise_48x200", 0.0, 0.0, poly_pair_case(4))
+
     # --- fused update+blur+solve (the software-pipelined M ring): must
     # be BITWISE equal to blur_solve_store(update_matrices_store(...))
     # on Mosaic — same adds in the same order, M never round-trips HBM.
