@@ -257,8 +257,10 @@ def _sharded_extract_fn(mesh: Mesh, h: int, w: int, config: FarnebackConfig):
 
     # spatial sharding (HBM relief at 8K-class frames): halo-exchanged
     # shard_map stencils with Pallas kernels per shard on TPU backends
-    # (parallel/halo.py); the update gather and resizes stay GSPMD — see
-    # docs/ARCHITECTURE.md "which path runs on hardware"
+    # (parallel/halo.py), including the displaced-fetch update itself
+    # (replicate-halo + analytic seam mask + bounded correction,
+    # parallel/halo.py:update_matrices_sharded); only the resizes stay
+    # GSPMD — see docs/ARCHITECTURE.md "which path runs on hardware"
     from optical_flow_tpu.models.farneback.flow import _on_tpu
     from optical_flow_tpu.parallel.halo import HaloKernels
     sp_kernels = HaloKernels(mesh, use_pallas=_on_tpu())
