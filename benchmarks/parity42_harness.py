@@ -112,7 +112,15 @@ def dump(path):
                                                cv2.__version__))
 
 
-def check(path):
+# default dump location: checked-in next to this file when someone with
+# docker runs benchmarks/make_parity42_dump.sh (see Dockerfile.parity42)
+DEFAULT_DUMP = __file__.rsplit("/", 1)[0] + "/parity42.npz"
+
+
+def check_rows(path):
+    """Compare this implementation against a dump; returns (oracle cv2
+    version string, [(op name, ok 0/1), ...]).  tests/test_parity42_dump.py
+    asserts these rows whenever a dump file is checked in."""
     import os
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))           # repo root, any cwd
@@ -124,8 +132,6 @@ def check(path):
     p = probe_inputs()
     ver = bytes(d["cv2_version"]).decode()
     is42 = ver.startswith("4.2")
-    print("oracle cv2:", ver, "(pinned)" if is42 else "(NOT the pinned 4.2!)")
-    import os
     if is42:
         os.environ["OFT_CV42_GRAY"] = "1"
     rows = []
@@ -196,7 +202,19 @@ def check(path):
                       "ours %d/%d, oracle same=%s"
                       % (s, k, k + 1, ours_n, more, oracle_same))
     rows.append(("level-clip rule", int(ok_clip)))
+    return ver, rows
 
+
+def check(path):
+    import os
+    if not os.path.exists(path):
+        print("no dump at %s — produce one with\n"
+              "  bash benchmarks/make_parity42_dump.sh\n"
+              "(needs docker + network; see Dockerfile.parity42)" % path)
+        return 2
+    ver, rows = check_rows(path)
+    print("oracle cv2:", ver,
+          "(pinned)" if ver.startswith("4.2") else "(NOT the pinned 4.2!)")
     w = max(len(r[0]) for r in rows)
     for name, ok in rows:
         print("%-*s  %s" % (w, name, "OK" if ok else "MISMATCH"))
@@ -207,7 +225,8 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     g = ap.add_mutually_exclusive_group(required=True)
     g.add_argument("--dump")
-    g.add_argument("--check")
+    g.add_argument("--check", nargs="?", const=DEFAULT_DUMP,
+                   help="dump file (default: benchmarks/parity42.npz)")
     args = ap.parse_args()
     if args.dump:
         dump(args.dump)
