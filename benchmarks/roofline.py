@@ -121,6 +121,37 @@ def main():
     res["full_pairs_per_s"] = round(B / t_full, 1)
 
     nf = 2 * B          # unique frames smoothed/expanded per batch
+
+    # ---- fused multi-level gauss_resize (the round-5 production path:
+    # ONE pad copy + ONE phase-major window sweep emits every level) ----
+    from optical_flow_tpu.pallas.gauss_resize import (
+        _multi_geometry, gaussian_blur_resize_multi, multi_supported)
+    down = [lv for lv in plan.levels if lv.k > 0]
+    specs = tuple((2 ** lv.k, tuple(float(t) for t in gaussian_kernel(
+        lv.smooth_ksize, lv.smooth_sigma))) for lv in down)
+    while len(specs) >= 2 and not multi_supported(h, w, specs, bf16=True):
+        specs = specs[:-1]
+    if len(specs) >= 2:
+        both_u8 = jax.device_put(
+            rng.integers(0, 256, (nf, h, w), dtype=np.uint8))
+        t = timed(jax.jit(lambda x: gaussian_blur_resize_multi(
+            x, specs, exact_u8=True)), (both_u8,))
+        S, Pm, lvls, a0m, win_rows_m = _multi_geometry(specs, True)
+        wp_m = _ceil(w + 2 * Pm, 128)
+        outh_S_p = _ceil(h // S, 16)
+        n_bands = outh_S_p // 16
+        win_bytes = nf * n_bands * S * win_rows_m * wp_m * 2
+        out_bytes = sum(nf * q * outh_S_p * wp_m * 4
+                        for *_x, q in lvls)
+        nbytes = nf * h * w * (1 + 2) + win_bytes + out_bytes
+        stages.append((
+            "gauss_resize_multi(%s)" % "+".join(
+                "L%d" % round(np.log2(s)) for s, _ in specs),
+            t, nbytes,
+            "u8 read + bf16 restride write + ONE bf16 window sweep "
+            f"({S}ph x {win_rows_m}rows/band) + f32 level writes"))
+        del both_u8
+
     for lv in plan.levels:
         Hl, Wl = lv.height, lv.width
         s = 2 ** lv.k

@@ -153,6 +153,34 @@ def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
         B = prev_f.shape[0]
     flow = None
     tiers_total = jnp.zeros((2,), jnp.int32)
+    # MULTI-LEVEL gauss_resize (round 5): ONE kernel pass reads each
+    # full-res band window once and emits every downsampled level,
+    # replacing the per-level pad copy + window sweep (the three
+    # gauss_resize stages were ~24 ms of the 95.5 ms 1080p batch,
+    # ROOFLINE_r04_storeemit.json).  Bitwise-identical per level to
+    # gaussian_blur_resize_pallas; greedy gate: drop the finest level(s)
+    # from the fused set until the VMEM estimate passes (at 8K only
+    # L2+L3 fuse), dropped levels keep their single-level kernel.
+    multi_imgs = {}
+    h_full, w_full = prev_f.shape[-2:]
+    if use_pallas and sp_kernels is None and _on_tpu():
+        from optical_flow_tpu.pallas import gauss_resize as _gr
+        down = [lv for lv in plan.levels if lv.k > 0]
+        if _gr.MULTI and len(down) >= 2:
+            specs = tuple(
+                (2 ** lv.k, tuple(float(t) for t in gaussian_kernel(
+                    lv.smooth_ksize, lv.smooth_sigma)))
+                for lv in down)       # coarse -> fine (strides descending)
+            while (len(specs) >= 2
+                   and not _gr.multi_supported(h_full, w_full, specs,
+                                               bf16=bool(input_u8))):
+                specs = specs[:-1]    # drop the finest level
+            if len(specs) >= 2:
+                both0 = (prev_f if chain
+                         else jnp.concatenate([prev_f, nxt_f], axis=0))
+                outs = _gr.gaussian_blur_resize_multi(
+                    both0, specs, exact_u8=input_u8)
+                multi_imgs = {s: o for (s, _), o in zip(specs, outs)}
     for lv in plan.levels:
         if sp_kernels is not None:
             poly_fn = sp_kernels.poly_exp
@@ -179,7 +207,9 @@ def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
                                                       cfg)
                          if use_pallas and sp_kernels is None else None)
         imgs, pre_t, exact = None, None, False
-        if gauss_resize_fn is not None:
+        if 2 ** lv.k in multi_imgs:
+            imgs = multi_imgs.pop(2 ** lv.k)
+        elif gauss_resize_fn is not None:
             # smooth + downsample in one kernel (s-fold compute saving);
             # u8 frames stage the full-res input reads in bf16 (exact)
             imgs = gauss_resize_fn(both, kern, 2 ** lv.k,

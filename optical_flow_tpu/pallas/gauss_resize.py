@@ -179,6 +179,226 @@ def supported(h: int, w: int, out_h: int, out_w: int, s: int,
             and _vmem_estimate(w, s, ksize, bf16) <= _VMEM_LIMIT)
 
 
+# Multi-level fusion (round 5): ONE kernel pass reads each full-res band
+# window once and emits every downsampled pyramid level, instead of one
+# full pad-copy + full window sweep per level.  Toggle for A/B harnesses
+# (benchmarks/exp_gauss_multi.py); flow.py consults it.
+MULTI = True
+
+
+def _combined_taps(g: tuple) -> tuple:
+    """Blur+half-pixel-lerp collapse: even-length filter of 2r+2 taps."""
+    r = (len(g) - 1) // 2
+    return tuple(0.5 * (g[j] if j <= 2 * r else 0.0)
+                 + 0.5 * (g[j - 1] if j >= 1 else 0.0)
+                 for j in range(2 * r + 2))
+
+
+def _multi_geometry(specs: tuple, bf16: bool):
+    """Static geometry shared by multi_supported and the wrapper.
+
+    specs: tuple of (s, gauss_taps_tuple), any order, strides powers of
+    two.  Returns (S, P, levels, a0, win_rows) where levels is a tuple of
+    (s, r, taps, offs, q_n) and offs[q * nt + t] = (phase, plane_off - a0).
+    """
+    ss = [s for s, _ in specs]
+    S = max(ss)
+    rs = [(len(g) - 1) // 2 for _, g in specs]
+    P = max(rs) + 1
+    align = 16 if bf16 else 8
+    levels, all_a = [], []
+    for (s, g), r in zip(specs, rs):
+        taps = _combined_taps(tuple(float(t) for t in g))
+        q_n = S // s
+        first = s // 2 - 1 - r + P
+        offs = []
+        for q in range(q_n):
+            for t in range(len(taps)):
+                raw = first + s * q + t
+                offs.append((raw % S, raw // S))
+        all_a += [a for _, a in offs]
+        levels.append((s, r, taps, tuple(offs), q_n))
+    a0 = (min(all_a) // align) * align
+    win_rows = _ceil(max(all_a) - a0 + TILE_H, align)
+    levels = tuple((s, r, taps, tuple((p, a - a0) for p, a in offs), q_n)
+                   for s, r, taps, offs, q_n in levels)
+    return S, P, levels, a0, win_rows
+
+
+def multi_supported(h: int, w: int, specs: tuple, bf16: bool = False) -> bool:
+    """The fused multi-level pass applies when every level divides the
+    full dims exactly (all strides divide S = max stride, H % S == 0,
+    W % S == 0 — then each level's bilinear fractions are exactly 0.5),
+    the coarsest level is non-trivial, and the shared window scratch plus
+    the per-level double-buffered output blocks fit scoped VMEM (1080p
+    and 4K fit all three production levels; at 8K the caller drops the
+    finest level(s) until the estimate passes)."""
+    if len(specs) < 2:
+        return False
+    ss = sorted(s for s, _ in specs)
+    S = ss[-1]
+    if any(s < 2 or S % s for s in ss) or len(set(ss)) != len(ss):
+        return False
+    if h % S or w % S or min(h // S, w // S) < 16:
+        return False
+    S_, P, levels, a0, win_rows = _multi_geometry(specs, bf16)
+    if h <= P or w <= P:
+        return False
+    wp = _ceil(w + 2 * P, 128)
+    scratch = 2 * S * win_rows * wp * (2 if bf16 else 4)
+    outs = 2 * sum(q_n for *_x, q_n in levels) * TILE_H * wp * 4
+    return scratch + outs + _CHUNK_TEMPS <= _VMEM_LIMIT
+
+
+def _kernel_multi(ip_hbm, *refs, levels, S: int, a0: int, win_rows: int,
+                  n_bands: int, in_bf16: bool):
+    """Grid: (batch * n_bands,).  ip_hbm is phase-major (B, S, hr, wp);
+    each step DMAs S phase windows ONCE and emits one TILE_H-row band of
+    EVERY level, row-sub-phase-major: o_refs[j] block (1, q_j, TILE_H,
+    wp) where output row (q, z) is level-j row q + q_j * (band * 16 + z).
+    The de-interleave (a transpose+reshape) rides the caller's existing
+    strided-column-select XLA copy."""
+    n_lv = len(levels)
+    o_refs = refs[:n_lv]
+    win, sem = refs[n_lv], refs[n_lv + 1]
+    gi = pl.program_id(0)
+    n_total = pl.num_programs(0)
+    wp = o_refs[0].shape[3]
+
+    def dma(slot, step, p):
+        b = step // n_bands
+        i = step % n_bands
+        return pltpu.make_async_copy(
+            ip_hbm.at[b, p, pl.ds(i * TILE_H + a0, win_rows), :],
+            win.at[slot, p], sem.at[slot, p])
+
+    slot = jax.lax.rem(gi, 2)
+    nslot = jax.lax.rem(gi + 1, 2)
+
+    @pl.when(gi == 0)
+    def _():
+        for p in range(S):
+            dma(slot, gi, p).start()
+
+    @pl.when(gi + 1 < n_total)
+    def _():
+        for p in range(S):
+            dma(nslot, gi + 1, p).start()
+
+    for p in range(S):
+        dma(slot, gi, p).wait()
+
+    def plane_rows(p, off, csl):
+        t = win[slot, p, off:off + TILE_H, csl]
+        return t.astype(jnp.float32) if in_bf16 else t
+
+    for li, (_s, _r, taps, offs, q_n) in enumerate(levels):
+        nt = len(taps)
+        out_w = wp - nt + 1
+        o_ref = o_refs[li]
+        XCHUNK = min(out_w, 1024)
+        for q in range(q_n):
+            for x0 in range(0, out_w, XCHUNK):
+                cw = min(XCHUNK, out_w - x0)
+                csl = slice(x0, x0 + cw + nt - 1)
+                v = None
+                for j in range(nt):
+                    p, off = offs[q * nt + j]
+                    t = plane_rows(p, off, csl) * jnp.float32(taps[j])
+                    v = t if v is None else v + t
+                o = None
+                for j in range(nt):
+                    t = v[:, j:j + cw] * jnp.float32(taps[j])
+                    o = t if o is None else o + t
+                o_ref[0, q, :, x0:x0 + cw] = o
+            o_ref[0, q, :, out_w:] = jnp.zeros((TILE_H, nt - 1), jnp.float32)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_multi(batch: int, hr: int, wp: int, outh_S_p: int, S: int,
+                 levels: tuple, a0: int, win_rows: int, in_bf16: bool):
+    n_bands = outh_S_p // TILE_H
+    out_specs = [
+        pl.BlockSpec((1, q_n, TILE_H, wp),
+                     lambda gi: (gi // n_bands, 0, gi % n_bands, 0),
+                     memory_space=pltpu.VMEM)
+        for *_x, q_n in levels]
+    out_shapes = [jax.ShapeDtypeStruct((batch, q_n, outh_S_p, wp),
+                                       jnp.float32)
+                  for *_x, q_n in levels]
+    return pl.pallas_call(
+        functools.partial(_kernel_multi, levels=levels, S=S, a0=a0,
+                          win_rows=win_rows, n_bands=n_bands,
+                          in_bf16=in_bf16),
+        grid=(batch * n_bands,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((2, S, win_rows, wp),
+                       jnp.bfloat16 if in_bf16 else jnp.float32),
+            pltpu.SemaphoreType.DMA((2, S)),
+        ],
+    )
+
+
+def gaussian_blur_resize_multi(img, specs, exact_u8: bool = False):
+    """img (B, H, W) f32; specs a tuple of (s, gauss_taps) per pyramid
+    level (any order).  Returns a tuple of (B, H/s, W/s) f32 outputs in
+    spec order, each BITWISE identical to
+    gaussian_blur_resize_pallas(img, taps, s) — same combined taps, same
+    accumulation order, and the shared reflect-101 pad band (width
+    P = max r + 1) holds identical values in the region each level reads.
+
+    One full-res pad copy + one phase-major window sweep replaces the
+    per-level copies: the full-res input traffic of the whole pyramid
+    drops from n_levels passes to one (the round-5 byte cut;
+    cf. VERDICT r4 task 1 and ROOFLINE_r04_storeemit.json, where the
+    three gauss_resize stages each re-read the full-res frame)."""
+    B, H, W = img.shape
+    specs = tuple((int(s), tuple(float(t) for t in g)) for s, g in specs)
+    use_bf16 = (bool(exact_u8) and PAD_BUILDER == "zdus")
+    S, P, levels, a0, win_rows = _multi_geometry(specs, use_bf16)
+    use_bf16 = use_bf16 and H > P and W > P
+    if not (H > P and W > P):
+        # tiny frames: no zdus reflect band; fall back per level
+        return tuple(gaussian_blur_resize_pallas(img, g, s,
+                                                 exact_u8=exact_u8)
+                     for s, g in specs)
+
+    outh_S = H // S
+    outh_S_p = _ceil(outh_S, TILE_H)
+    hr = outh_S_p + a0 + win_rows        # plane rows (generous bound)
+    wp = _ceil(W + 2 * P, 128)
+    if use_bf16:
+        img = img.astype(jnp.bfloat16)
+    # zero-pad + thin flipped-DUS reflect-101 bands, width P (identical
+    # values to each level's own pad band in the rows/cols it reads)
+    ip = jnp.pad(img, [(0, 0), (P, hr * S - H - P), (P, wp - W - P)])
+    ip = jax.lax.dynamic_update_slice(
+        ip, jnp.flip(ip[:, :, P + 1:2 * P + 1], 2), (0, 0, 0))
+    ip = jax.lax.dynamic_update_slice(
+        ip, jnp.flip(ip[:, :, P + W - 1 - P:P + W - 1], 2), (0, 0, P + W))
+    ip = jax.lax.dynamic_update_slice(
+        ip, jnp.flip(ip[:, P + 1:2 * P + 1, :], 1), (0, 0, 0))
+    ip = jax.lax.dynamic_update_slice(
+        ip, jnp.flip(ip[:, P + H - 1 - P:P + H - 1, :], 1), (0, P + H, 0))
+    ip_ph = ip.reshape(B, hr, S, wp).transpose(0, 2, 1, 3)
+
+    outs = _build_multi(B, hr, wp, outh_S_p, S, levels, a0, win_rows,
+                        in_bf16=use_bf16)(ip_ph)
+    results = []
+    for (s, r, taps, offs, q_n), out in zip(levels, outs):
+        col0 = s // 2 - 1 - r + P
+        outh, outw = H // s, W // s
+        if q_n == 1:
+            o = out[:, 0]
+        else:
+            o = out.transpose(0, 2, 1, 3).reshape(B, outh_S_p * q_n, wp)
+        results.append(o[:, :outh, col0:col0 + s * outw:s])
+    return tuple(results)
+
+
 def gaussian_blur_resize_pallas(img, kernel_taps, s: int,
                                 exact_u8: bool = False):
     """img (B, H, W) f32, Gaussian taps (len 2r+1), integer stride s —

@@ -31,6 +31,7 @@ def interpret_mode():
     ug._build_chunked.cache_clear()
     ug._build_fused_blur.cache_clear()
     ug._build_fused_blur_chunked.cache_clear()
+    gr._build_multi.cache_clear()
     yield
     pl.pallas_call = orig
     for m in (ug, bs, pe, ga, cz, gr):
@@ -39,6 +40,7 @@ def interpret_mode():
     ug._build_chunked.cache_clear()
     ug._build_fused_blur.cache_clear()
     ug._build_fused_blur_chunked.cache_clear()
+    gr._build_multi.cache_clear()
 
 
 class TestUpdateGatherKernel:
@@ -1145,6 +1147,73 @@ class TestGaussResizeKernel:
         # f32 reassociation only (combined taps vs blur-then-lerp)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-3, rtol=1e-5)
+
+    @pytest.mark.parametrize("H,W", [
+        (128, 256),      # single band (H/8 = 16)
+        (192, 384),      # two bands with cropping (H/8 = 24)
+    ])
+    def test_multi_bitwise_vs_per_level(self, H, W):
+        """The fused multi-level pass must be BITWISE identical to the
+        per-level kernels (same combined taps, same accumulation order,
+        shared P-wide reflect band holds identical values), in both the
+        f32 and the exact_u8/bf16 stagings."""
+        from optical_flow_tpu.models.farneback.params import gaussian_kernel
+        from optical_flow_tpu.pallas.gauss_resize import (
+            gaussian_blur_resize_multi, gaussian_blur_resize_pallas,
+            multi_supported)
+        rng = np.random.default_rng(11)
+        img = jnp.asarray(
+            rng.integers(0, 256, (2, H, W)).astype(np.float32))
+        specs = tuple((2 ** k, tuple(gaussian_kernel(ks, sg)))
+                      for k, ks, sg in
+                      [(3, 19, 3.5), (2, 9, 1.5), (1, 3, 0.5)])
+        assert multi_supported(H, W, specs, bf16=False)
+        assert multi_supported(H, W, specs, bf16=True)
+        for exact_u8 in (False, True):
+            outs = gaussian_blur_resize_multi(img, specs,
+                                              exact_u8=exact_u8)
+            for (s, g), o in zip(specs, outs):
+                ref = gaussian_blur_resize_pallas(img, g, s,
+                                                  exact_u8=exact_u8)
+                assert o.shape == (2, H // s, W // s)
+                np.testing.assert_array_equal(np.asarray(o),
+                                              np.asarray(ref))
+
+    def test_multi_two_level_subset(self):
+        """A coarse-level subset (the 8K fallback shape: L2+L3 fused,
+        L1 dropped) is still bitwise per level."""
+        from optical_flow_tpu.models.farneback.params import gaussian_kernel
+        from optical_flow_tpu.pallas.gauss_resize import (
+            gaussian_blur_resize_multi, gaussian_blur_resize_pallas,
+            multi_supported)
+        rng = np.random.default_rng(12)
+        img = jnp.asarray(
+            rng.integers(0, 256, (2, 128, 256)).astype(np.float32))
+        specs = tuple((2 ** k, tuple(gaussian_kernel(ks, sg)))
+                      for k, ks, sg in [(3, 19, 3.5), (2, 9, 1.5)])
+        assert multi_supported(128, 256, specs, bf16=False)
+        outs = gaussian_blur_resize_multi(img, specs)
+        for (s, g), o in zip(specs, outs):
+            np.testing.assert_array_equal(
+                np.asarray(o),
+                np.asarray(gaussian_blur_resize_pallas(img, g, s)))
+
+    def test_multi_supported_gates(self):
+        """Production shapes: all three levels fuse at 1080p/4K; the 8K
+        full set overflows scoped VMEM and the L2+L3 subset passes;
+        inexact division and single-level sets are rejected."""
+        from optical_flow_tpu.models.farneback.params import gaussian_kernel
+        from optical_flow_tpu.pallas.gauss_resize import multi_supported
+        full = tuple((2 ** k, tuple(gaussian_kernel(ks, sg)))
+                     for k, ks, sg in
+                     [(3, 19, 3.5), (2, 9, 1.5), (1, 3, 0.5)])
+        assert multi_supported(1080, 1920, full, bf16=True)
+        assert multi_supported(1080, 1920, full, bf16=False)
+        assert multi_supported(2160, 3840, full, bf16=True)
+        assert not multi_supported(4320, 7680, full, bf16=True)
+        assert multi_supported(4320, 7680, full[:-1], bf16=True)
+        assert not multi_supported(135, 240, full, bf16=False)
+        assert not multi_supported(1080, 1920, full[:1], bf16=False)
 
     def test_rejects_inexact_division(self):
         from optical_flow_tpu.pallas.gauss_resize import supported
