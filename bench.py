@@ -249,6 +249,33 @@ def main():
     except Exception as e:  # pragma: no cover - report, don't hide
         extra["motion_boundary"] = {"error": repr(e)}
 
+    # --- hard config 1b: tier-2 observability (VERDICT r4 task 6).
+    # Adjacent content strips jumping 40/104 px vertically: per-band
+    # source spread past WIN_H=32 AND bimodal, the selftest spill
+    # geometry as CONTENT at production scale.  The boundary config's
+    # ±3 px never leaves pass 1 (tiers 0/0 there is by design); this row
+    # proves the tier-2 counter fires end-to-end in the production
+    # jitted program (benchmarks/exp_tier_fire.py measured tier2=70,
+    # tier3=0 on this geometry; throughput collapses to ~9 pairs/s
+    # because the bounded correction replays per fire — the row is an
+    # observability proof, not a throughput target). ---
+    try:
+        from optical_flow_tpu.oracle import vertical_jump_pair
+        from optical_flow_tpu.pallas.update_gather import (
+            consume_tier_stats as _cts, reset_tier_counts as _rtc)
+        _rtc()
+        j1, j2 = vertical_jump_pair(H, W)
+        ts_pps, _ts_dt, _ts_out = measure_config(j1, j2, batch=16,
+                                                 iters=3, pipeline=2)
+        counts = _cts()
+        extra["tier_spill"] = {
+            "pairs_per_s": round(ts_pps, 1),
+            "tier2_fires": counts["tier2"],
+            "tier3_fires": counts["tier3"],
+        }
+    except Exception as e:  # pragma: no cover - report, don't hide
+        extra["tier_spill"] = {"error": repr(e)}
+
     # --- chained pairs (the visualizer's workload: consecutive sampled
     # frames, each interior frame smoothed/expanded once) ---
     try:

@@ -9,6 +9,7 @@ from optical_flow_tpu.oracle.synthetic import (
     smooth_texture_pair,
     motion_boundary_pair,
     quadratic_pair,
+    vertical_jump_pair,
     write_synthetic_video,
 )
 
@@ -16,5 +17,6 @@ __all__ = [
     "smooth_texture_pair",
     "motion_boundary_pair",
     "quadratic_pair",
+    "vertical_jump_pair",
     "write_synthetic_video",
 ]

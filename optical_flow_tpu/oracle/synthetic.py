@@ -44,6 +44,31 @@ def motion_boundary_pair(h: int, w: int, shift_a=(2, 3), shift_b=(-2, -3),
     return f1, f2
 
 
+def vertical_jump_pair(h: int, w: int,
+                       jumps=((0.37, 0.445, 40), (0.46, 0.535, 104)),
+                       seed: int = 13):
+    """Two uint8 frames where horizontal CONTENT STRIPS jump DOWN by tens
+    of pixels between frames while the rest of the frame is static.
+
+    strips are (row_frac_start, row_frac_end, dy_pixels): frame-2 rows in
+    the strip show frame-1 content from dy rows above, so the recovered
+    flow has flow_y ~ +dy there against ~0 elsewhere.  With two adjacent
+    strips at dy (40, 104), the per-band vertical source spread blows past
+    the update kernel's WIN_H=32-row window AND is bimodal (two modes
+    further than WIN_H apart), which defeats the in-kernel pass 2 — the
+    geometry of the selftest spill cases (utils/selftest.py
+    `_spill`/`_spill_bimodal`) expressed as image CONTENT at production
+    scale.  bench.py's `tier_spill` extra uses this to prove the tier-2
+    observability counter fires end-to-end (VERDICT r4 task 6)."""
+    f1, _ = smooth_texture_pair(h, w, (0, 0), seed=seed)
+    f2 = f1.copy()
+    for r0f, r1f, dy in jumps:
+        r0, r1 = int(h * r0f), int(h * r1f)
+        src0 = max(r0 - dy, 0)
+        f2[r0:r1] = f1[src0:src0 + (r1 - r0)]
+    return f1, f2
+
+
 def quadratic_pair(h: int, w: int, d=(0.5, -0.3), coeffs=(2.0, 1.5, 0.15, 0.10, 0.05)):
     """A quadratic-surface frame pair with exact sub-pixel shift d=(dx, dy).
 
