@@ -364,6 +364,35 @@ class TestWarmup:
         warmup_extractor(96, 128)
         warmup_visualizer(48, 64)
 
+    def test_cache_pack_roundtrip(self, tmp_path, monkeypatch):
+        """--pack/--unpack ship the persistent compile cache to fresh
+        hosts (cold-start packs).  Round-trip on a synthetic cache dir;
+        hostile archive members (paths, dotfiles, dirs) are skipped."""
+        import tarfile
+
+        from optical_flow_tpu.utils import warmup as wu
+
+        cache = tmp_path / "cache"
+        cache.mkdir()
+        monkeypatch.setenv("OFT_COMPILE_CACHE", str(cache))
+        (cache / "entry_a").write_bytes(b"xla-exec-a")
+        (cache / "entry_b").write_bytes(b"xla-exec-b")
+        pack = str(tmp_path / "warm.tgz")
+        assert wu.pack_cache(pack) == 2
+        for f in cache.iterdir():
+            f.unlink()
+        # adversarial archive: path-y / hidden members must be skipped
+        evil = str(tmp_path / "evil.tgz")
+        with tarfile.open(evil, "w:gz") as tf:
+            tf.add(str(cache), arcname="sub/dir")       # dir + path
+            (tmp_path / ".hidden").write_bytes(b"x")
+            tf.add(str(tmp_path / ".hidden"), arcname=".hidden")
+        assert wu.unpack_cache(evil) == 0
+        assert wu.unpack_cache(pack) == 2
+        assert sorted(p.name for p in cache.iterdir()) == [
+            "entry_a", "entry_b"]
+        assert (cache / "entry_a").read_bytes() == b"xla-exec-a"
+
     def test_warmup_precompiles_production_visualizer(self, tmp_path,
                                                       monkeypatch):
         """warmup_visualizer must compile THE executable visualize_shot
