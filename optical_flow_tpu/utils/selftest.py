@@ -417,6 +417,35 @@ def _cases(quick: bool = False) -> List[Dict]:
     add("gauss_resize/bf16_bitwise_8k_64x7680_s8", 0.0, 0.0,
         gresize_bf16_case(64, 7680, 8, 19, 3.5))
 
+    # --- multi-level fused gauss_resize (round-5 production path):
+    # one window sweep emits every level, BITWISE equal to the
+    # per-level kernels on real Mosaic, both stagings ---
+    def gresize_multi_case(H, W, exact_u8):
+        def run():
+            from optical_flow_tpu.pallas.gauss_resize import (
+                gaussian_blur_resize_multi, gaussian_blur_resize_pallas,
+                multi_supported)
+            specs = tuple((2 ** k, tuple(gaussian_kernel(ks, sg)))
+                          for k, ks, sg in
+                          [(3, 19, 3.5), (2, 9, 1.5), (1, 3, 0.5)])
+            assert multi_supported(H, W, specs, bf16=exact_u8)
+            rng = np.random.default_rng(9)
+            img = jnp.asarray(
+                rng.integers(0, 256, (2, H, W)).astype(np.float32))
+            outs = gaussian_blur_resize_multi(img, specs,
+                                              exact_u8=exact_u8)
+            refs = [gaussian_blur_resize_pallas(img, g, s,
+                                                exact_u8=exact_u8)
+                    for s, g in specs]
+            return (jnp.concatenate([o.reshape(2, -1) for o in outs], 1),
+                    jnp.concatenate([r.reshape(2, -1) for r in refs], 1))
+        return run
+
+    add("gauss_resize/multi_bitwise_128x256", 0.0, 0.0,
+        gresize_multi_case(128, 256, False), in_quick=True)
+    add("gauss_resize/multi_bitwise_bf16_192x384", 0.0, 0.0,
+        gresize_multi_case(192, 384, True))
+
     return cases
 
 
