@@ -43,7 +43,9 @@ GB = 1e9
 
 
 def _sync(x):
+    import jax
     import jax.numpy as jnp
+    x = jax.tree_util.tree_leaves(x)[0]   # tuple outputs: sync the first
     return float(jnp.sum(x[(slice(None),) * (x.ndim - 2) + (slice(None, None, 97),) * 2].astype(jnp.float32)))
 
 
@@ -214,8 +216,10 @@ def main():
                 fused_store_geometry)
             from optical_flow_tpu.pallas.polyexp import (
                 poly_exp_pallas_store, store_emit_supported)
-            if store_emit_supported(Hl, Wl, cfg.poly_n):
-                Hs0, Ws0 = fused_store_geometry(Hl, Wl, cfg.winsize)
+            geom = (fused_store_geometry(Hl, Wl, cfg.winsize)
+                    if store_emit_supported(Hl, Wl, cfg.poly_n) else None)
+            if geom is not None:
+                Hs0, Ws0 = geom
                 img_h = jax.device_put(
                     rng.integers(0, 256, (B, Hl, Wl), dtype=np.uint8))
                 t = timed(jax.jit(lambda x: poly_exp_pallas_store(
