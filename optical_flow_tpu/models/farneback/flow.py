@@ -158,9 +158,11 @@ def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
     # replacing the per-level pad copy + window sweep (the three
     # gauss_resize stages were ~24 ms of the 95.5 ms 1080p batch,
     # ROOFLINE_r04_storeemit.json).  Bitwise-identical per level to
-    # gaussian_blur_resize_pallas; greedy gate: drop the finest level(s)
-    # from the fused set until the VMEM estimate passes (at 8K only
-    # L2+L3 fuse), dropped levels keep their single-level kernel.
+    # gaussian_blur_resize_pallas.  Applies only when the FULL level set
+    # fits the VMEM gate (1080p/4K: +4-5% whole-pipeline, bitwise-equal,
+    # GAUSSMULTI_AB_r05.json); partial fusion was measured a ~2% LOSS at
+    # 8K (L2+L3 fused, L1 separate: 8.97 -> 8.77 pairs/s on v5e), so
+    # wider-than-gate frames keep the per-level kernels outright.
     multi_imgs = {}
     h_full, w_full = prev_f.shape[-2:]
     if use_pallas and sp_kernels is None and _on_tpu():
@@ -171,11 +173,8 @@ def _flow_pyramid(prev_f, nxt_f, plan: FarnebackPlan, use_pallas: bool,
                 (2 ** lv.k, tuple(float(t) for t in gaussian_kernel(
                     lv.smooth_ksize, lv.smooth_sigma)))
                 for lv in down)       # coarse -> fine (strides descending)
-            while (len(specs) >= 2
-                   and not _gr.multi_supported(h_full, w_full, specs,
-                                               bf16=bool(input_u8))):
-                specs = specs[:-1]    # drop the finest level
-            if len(specs) >= 2:
+            if _gr.multi_supported(h_full, w_full, specs,
+                                   bf16=bool(input_u8)):
                 both0 = (prev_f if chain
                          else jnp.concatenate([prev_f, nxt_f], axis=0))
                 outs = _gr.gaussian_blur_resize_multi(
