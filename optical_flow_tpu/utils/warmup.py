@@ -153,7 +153,7 @@ def unpack_cache(path: str) -> int:
             # cache entries are flat files; refuse anything else
             if not m.isfile() or "/" in m.name or m.name.startswith("."):
                 continue
-            tf.extract(m, d)
+            tf.extract(m, d, filter="data")
             n += 1
     logger.info("unpacked %d cache entries from %s into %s", n, path, d)
     return n
