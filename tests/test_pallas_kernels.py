@@ -982,6 +982,44 @@ class TestPolyExpStoreEmit:
         np.testing.assert_array_equal(outs[True], outs[False])
         np.testing.assert_array_equal(chain_outs[True], chain_outs[False])
 
+    @pytest.mark.slow
+    def test_multi_gauss_wiring_bitwise(self):
+        """_flow_pyramid with the TPU picks forced on CPU: the fused
+        multi-level gauss_resize (gauss_resize.MULTI) on vs off must be
+        bitwise-identical through the full pyramid, batched and chained
+        (covers the flow.py hoisting/pop plumbing, not just the kernel —
+        the device A/B asserts the same on real Mosaic,
+        GAUSSMULTI_AB_r05.json)."""
+        import optical_flow_tpu.models.farneback.flow as fl
+        import optical_flow_tpu.pallas.gauss_resize as gr
+        from optical_flow_tpu.models.farneback.params import build_plan
+        from optical_flow_tpu.utils.config import FarnebackConfig
+        rng = np.random.default_rng(13)
+        H, W = 128, 256         # two downsampled levels, exact division
+        prev = jnp.asarray(rng.integers(0, 256, (2, H, W)).astype(np.uint8))
+        nxt = jnp.asarray(rng.integers(0, 256, (2, H, W)).astype(np.uint8))
+        plan = build_plan(H, W, FarnebackConfig())
+        assert plan.levels[0].k >= 2    # multi actually engages
+        orig_on_tpu, orig_multi = fl._on_tpu, gr.MULTI
+        outs, chain_outs = {}, {}
+        frames = jnp.concatenate([prev, nxt[:1]], axis=0)
+        try:
+            fl._on_tpu = lambda: True
+            for multi in (False, True):
+                gr.MULTI = multi
+                flow, _t = fl._flow_pyramid(
+                    prev.astype(jnp.float32), nxt.astype(jnp.float32),
+                    plan, use_pallas=True, input_u8=True)
+                outs[multi] = np.asarray(flow)
+                cflow, _ct = fl._flow_pyramid(
+                    frames.astype(jnp.float32), None, plan,
+                    use_pallas=True, chain=True, input_u8=True)
+                chain_outs[multi] = np.asarray(cflow)
+        finally:
+            fl._on_tpu, gr.MULTI = orig_on_tpu, orig_multi
+        np.testing.assert_array_equal(outs[True], outs[False])
+        np.testing.assert_array_equal(chain_outs[True], chain_outs[False])
+
 
 class TestRBf16:
     """bf16 R storage (polyexp.R_BF16): the store-emitting polyexp casts
