@@ -1186,15 +1186,16 @@ class TestGaussResizeKernel:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-3, rtol=1e-5)
 
-    @pytest.mark.parametrize("H,W", [
-        (128, 256),      # single band (H/8 = 16)
-        (192, 384),      # two bands with cropping (H/8 = 24)
+    @pytest.mark.parametrize("H,W,exact_u8", [
+        (128, 256, False),   # single band (H/8 = 16), f32 staging
+        (192, 384, True),    # two bands with cropping, bf16 staging
     ])
-    def test_multi_bitwise_vs_per_level(self, H, W):
+    def test_multi_bitwise_vs_per_level(self, H, W, exact_u8):
         """The fused multi-level pass must be BITWISE identical to the
         per-level kernels (same combined taps, same accumulation order,
-        shared P-wide reflect band holds identical values), in both the
-        f32 and the exact_u8/bf16 stagings."""
+        shared P-wide reflect band holds identical values); one band
+        geometry per staging dtype (the full f32 x bf16 cross runs on
+        real Mosaic in the on-device selftest)."""
         from optical_flow_tpu.models.farneback.params import gaussian_kernel
         from optical_flow_tpu.pallas.gauss_resize import (
             gaussian_blur_resize_multi, gaussian_blur_resize_pallas,
@@ -1205,17 +1206,14 @@ class TestGaussResizeKernel:
         specs = tuple((2 ** k, tuple(gaussian_kernel(ks, sg)))
                       for k, ks, sg in
                       [(3, 19, 3.5), (2, 9, 1.5), (1, 3, 0.5)])
-        assert multi_supported(H, W, specs, bf16=False)
-        assert multi_supported(H, W, specs, bf16=True)
-        for exact_u8 in (False, True):
-            outs = gaussian_blur_resize_multi(img, specs,
+        assert multi_supported(H, W, specs, bf16=exact_u8)
+        outs = gaussian_blur_resize_multi(img, specs, exact_u8=exact_u8)
+        for (s, g), o in zip(specs, outs):
+            ref = gaussian_blur_resize_pallas(img, g, s,
                                               exact_u8=exact_u8)
-            for (s, g), o in zip(specs, outs):
-                ref = gaussian_blur_resize_pallas(img, g, s,
-                                                  exact_u8=exact_u8)
-                assert o.shape == (2, H // s, W // s)
-                np.testing.assert_array_equal(np.asarray(o),
-                                              np.asarray(ref))
+            assert o.shape == (2, H // s, W // s)
+            np.testing.assert_array_equal(np.asarray(o),
+                                          np.asarray(ref))
 
     def test_multi_two_level_subset(self):
         """A coarse-level subset (the 8K fallback shape: L2+L3 fused,
