@@ -82,6 +82,10 @@ def main():
 
     from optical_flow_tpu.utils.compile_cache import enable_persistent_cache
     warm_dir = enable_persistent_cache()
+    if warm_dir is None:
+        raise RuntimeError("persistent compile cache disabled "
+                           "(OFT_COMPILE_CACHE=0); this benchmark "
+                           "measures cache scenarios and needs it")
     out = {}
 
     # warm: the machine's own populated cache

@@ -116,7 +116,9 @@ def measure_config(H, W):
     t_full = timed(jax.jit(lambda x: gaussian_blur_pallas(x, taps)), (full,))
     t_shard = timed(jax.jit(lambda x: gaussian_blur_pallas(x, taps)),
                     (shard,))
-    stages.append(("gauss_L0", t_full, t_shard, r, 1 * 4, 2))
+    # a (2, H, W) dispatch already holds BOTH frames of the pair (the
+    # pipeline batches both = concat(prev, nxt)), so one call per pair
+    stages.append(("gauss_L0", t_full, t_shard, r, 1 * 4, 1))
     del full, shard
 
     # -- polyexp (r = poly_n): 2 frames per pair -------------------------
@@ -127,7 +129,8 @@ def measure_config(H, W):
                    (full,))
     t_shard = timed(jax.jit(lambda x: poly_exp_pallas(x, poly_n, 1.2)),
                     (shard,))
-    stages.append(("polyexp_L0", t_full, t_shard, r, 1 * 4, 2))
+    # (2, H, W) = both frames of the pair in one dispatch, like gauss
+    stages.append(("polyexp_L0", t_full, t_shard, r, 1 * 4, 1))
     del full, shard
 
     # -- displaced-fetch update (r = WIN_H), x3 iterations ---------------

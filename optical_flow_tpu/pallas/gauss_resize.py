@@ -357,11 +357,12 @@ def gaussian_blur_resize_multi(img, specs, exact_u8: bool = False):
     three gauss_resize stages each re-read the full-res frame)."""
     B, H, W = img.shape
     specs = tuple((int(s), tuple(float(t) for t in g)) for s, g in specs)
-    use_bf16 = (bool(exact_u8) and PAD_BUILDER == "zdus")
+    use_bf16 = bool(exact_u8)
     S, P, levels, a0, win_rows = _multi_geometry(specs, use_bf16)
-    use_bf16 = use_bf16 and H > P and W > P
-    if not (H > P and W > P):
-        # tiny frames: no zdus reflect band; fall back per level
+    if PAD_BUILDER != "zdus" or not (H > P and W > P):
+        # legacy-pad A/B toggle or tiny frames: the multi path only
+        # implements the zdus builder (and the VMEM gate assumes its
+        # bf16 sizing) — fall back per level, which honors both
         return tuple(gaussian_blur_resize_pallas(img, g, s,
                                                  exact_u8=exact_u8)
                      for s, g in specs)
@@ -414,10 +415,10 @@ def gaussian_blur_resize_pallas(img, kernel_taps, s: int,
     out_h, out_w = H // s, W // s
     g = tuple(float(t) for t in kernel_taps)
     r = (len(g) - 1) // 2
-    # combined blur+lerp taps (even length 2r+2)
-    taps = tuple(0.5 * (g[j] if j <= 2 * r else 0.0)
-                 + 0.5 * (g[j - 1] if j >= 1 else 0.0)
-                 for j in range(2 * r + 2))
+    # combined blur+lerp taps (even length 2r+2) — shared with the
+    # multi-level kernel: this single definition is the bitwise-identity
+    # anchor between the two paths
+    taps = _combined_taps(g)
     nt = len(taps)
 
     # reflect-101 border for the Gaussian reach (like pallas/gauss.py)

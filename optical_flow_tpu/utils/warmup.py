@@ -153,7 +153,13 @@ def unpack_cache(path: str) -> int:
             # cache entries are flat files; refuse anything else
             if not m.isfile() or "/" in m.name or m.name.startswith("."):
                 continue
-            tf.extract(m, d, filter="data")
+            # the extraction filter kwarg exists from 3.10.12/3.11.4/3.12
+            # (hasattr is the documented feature probe); members are
+            # already restricted to flat plain files above either way
+            if hasattr(tarfile, "data_filter"):
+                tf.extract(m, d, filter="data")
+            else:  # pragma: no cover - old-patch-release interpreters
+                tf.extract(m, d)
             n += 1
     logger.info("unpacked %d cache entries from %s into %s", n, path, d)
     return n
