@@ -124,8 +124,11 @@ def main():
 
     nf = 2 * B          # unique frames smoothed/expanded per batch
 
-    # ---- fused multi-level gauss_resize (the round-5 production path:
-    # ONE pad copy + ONE phase-major window sweep emits every level) ----
+    # ---- fused multi-level gauss_resize (round-5 production path at
+    # 1080p/4K: ONE pad copy + window sweep emits every level; at 8K the
+    # full set overflows VMEM and production keeps per-level kernels —
+    # the L2+L3 subset is still probed here for information, it measured
+    # a ~2% whole-pipeline loss, GAUSSMULTI_AB8K_r05.json) ----
     from optical_flow_tpu.pallas.gauss_resize import (
         _multi_geometry, gaussian_blur_resize_multi, multi_supported)
     down = [lv for lv in plan.levels if lv.k > 0]
