@@ -55,3 +55,24 @@ def pytest_collection_modifyitems(config, items):
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+# XLA:CPU segfaults inside backend_compile_and_load once a single
+# process accumulates enough loaded executables (reproduced at both
+# backend opt levels, position-deterministic: the --runslow suite died
+# at the ~65th test of test_pallas_kernels, and earlier when other
+# modules' compiles preceded it; every crashing program compiles fine
+# in a fresh process).  Dropping the Python references to the loaded
+# executables every few tests keeps the client's loaded-code footprint
+# bounded; the persistent disk cache (JAX_COMPILATION_CACHE_DIR above)
+# makes the re-compiles after a clear cheap deserializations.
+_CLEAR_EVERY = 8
+_test_count = [0]
+
+
+@pytest.fixture(autouse=True)
+def _bound_loaded_executables():
+    yield
+    _test_count[0] += 1
+    if _test_count[0] % _CLEAR_EVERY == 0:
+        jax.clear_caches()
